@@ -1,0 +1,81 @@
+"""Device mesh construction and sharding helpers.
+
+The reference scales with DDP over NCCL (4 nodes x 8 A100,
+/root/reference/run/train_egoclip.py:42-45).  The TPU-native equivalent is a
+``jax.sharding.Mesh`` with a ``data`` axis (and an optional ``model`` axis
+reserved for future tensor parallelism; the 220M-param dual encoder fits
+per-chip, cf. SURVEY.md §2.7).  Batches are sharded over ``data``; parameters
+are replicated.  XLA then inserts the all-gather for the global similarity
+matrix and the psum for gradient averaging — the contract the reference
+implements by hand with `AllGather_multi` + DDP
+(/root/reference/trainer/trainer_egoclip.py:11-27, base/base_trainer.py:258).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshSpec:
+    """Declarative mesh description.
+
+    ``data`` = number of data-parallel groups, ``model`` = chips per group for
+    tensor parallelism (1 for the EgoVLP parity configuration).
+    """
+
+    data: int = -1  # -1: use all devices
+    model: int = 1
+
+    def resolve(self, devices: Optional[Sequence[jax.Device]] = None) -> "MeshSpec":
+        devices = devices if devices is not None else jax.devices()
+        n = len(devices)
+        data = self.data if self.data > 0 else n // self.model
+        if data * self.model != n:
+            raise ValueError(
+                f"mesh {data}x{self.model} does not cover {n} devices"
+            )
+        return MeshSpec(data=data, model=self.model)
+
+
+def create_mesh(
+    spec: MeshSpec = MeshSpec(),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a 2-D (data, model) mesh over the given devices.
+
+    The device order is kept as-is: on real TPU slices ``jax.devices()`` is
+    already ICI-contiguous, so neighbouring data-parallel ranks ride ICI, not
+    DCN.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    spec = spec.resolve(devices)
+    arr = np.asarray(devices).reshape(spec.data, spec.model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def data_sharding(mesh: Mesh, *, leading_axis: bool = True) -> NamedSharding:
+    """Sharding that splits the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS) if leading_axis else P())
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a pytree of host arrays with batch-axis sharding."""
+    sh = data_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def local_batch_to_global(batch_per_device: int, mesh: Mesh) -> int:
+    return batch_per_device * mesh.shape[DATA_AXIS]

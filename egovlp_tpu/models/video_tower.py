@@ -1,0 +1,231 @@
+"""SpaceTimeTransformer video tower (Flax).
+
+A TPU-native implementation of the "Frozen-in-Time"-style divided space-time
+attention ViT used by EgoVLP (behavioral reference:
+/root/reference/model/video_transformer.py).  Faithful behaviors:
+
+  * per-frame 16x16 conv patch embedding (:55-77);
+  * positional embedding = spatial pos tiled per frame + temporal embed
+    repeated per patch; CLS gets the spatial CLS position (:309-320);
+  * variable input frames ``<= num_frames`` via slicing the positional
+    table (:319-320);
+  * block structure (:163-177):
+      ``t = x + timeattn(norm3(x))``
+      ``s = attn(norm1(t))``
+      ``x = (x + drop_path(s)) + drop_path(mlp(norm2(x + drop_path(s))))``
+    — note the space residual branches from the *original* ``x``
+    (frozen-in-time style, :170-171); the published checkpoints depend on it;
+  * time attention may be zero-initialized with its output projection
+    weight filled with ones (:90-96) so the model starts as a pure ViT.
+
+Layout notes: activations are ``[B, S, D]`` with ``S = 1 + F * N`` tokens;
+inputs are ``[B, T, H, W, 3]`` (channels-last, the TPU/XLA-native layout —
+the reference uses NCHW).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from egovlp_tpu.kernels.divided_attention import divided_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class VideoTowerConfig:
+    img_size: int = 224
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    num_frames: int = 4
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    ln_eps: float = 1e-6
+    time_init: str = "zeros"  # 'zeros' => starts as a ViT (reference :90-96)
+
+    @property
+    def patches_per_frame(self) -> int:
+        return (self.img_size // self.patch_size) ** 2
+
+
+class Mlp(nn.Module):
+    hidden_dim: int
+    out_dim: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class VarAttention(nn.Module):
+    """QKV projection + divided attention + output projection.
+
+    ``zero_init=True`` reproduces the reference's time-attention init: qkv
+    weight/bias zeros, output projection weight all-ones, bias zeros
+    (video_transformer.py:90-96) — with zero qkv the attention output is the
+    mean of (zero) values, so the block starts as an identity-free branch.
+    """
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    zero_init: bool = False
+    proj_drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, frames: int, patches: int, axis: str,
+                 deterministic: bool = True):
+        B, S, D = x.shape
+        H = self.num_heads
+        hd = D // H
+
+        if self.zero_init:
+            qkv_kernel_init = nn.initializers.zeros
+            proj_kernel_init = nn.initializers.ones
+        else:
+            qkv_kernel_init = nn.initializers.lecun_normal()
+            proj_kernel_init = nn.initializers.lecun_normal()
+
+        qkv = nn.Dense(
+            3 * D,
+            use_bias=self.qkv_bias,
+            kernel_init=qkv_kernel_init,
+            dtype=self.dtype,
+            name="qkv",
+        )(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+
+        q = heads(q) * (hd ** -0.5)
+        k, v = heads(k), heads(v)
+
+        out = divided_attention(q, k, v, frames=frames, patches=patches, axis=axis)
+        out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
+
+        out = nn.Dense(
+            D, kernel_init=proj_kernel_init, dtype=self.dtype, name="proj"
+        )(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+class SpaceTimeBlock(nn.Module):
+    cfg: VideoTowerConfig
+    drop_path: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, frames: int, patches: int,
+                 deterministic: bool = True):
+        cfg = self.cfg
+        ln = lambda name: nn.LayerNorm(epsilon=cfg.ln_eps, dtype=self.dtype, name=name)
+
+        time_out = VarAttention(
+            cfg.embed_dim, cfg.num_heads, qkv_bias=cfg.qkv_bias,
+            zero_init=(cfg.time_init == "zeros"), proj_drop=cfg.drop_rate,
+            dtype=self.dtype, name="timeattn",
+        )(ln("norm3")(x), frames=frames, patches=patches, axis="time",
+          deterministic=deterministic)
+        time_residual = x + time_out
+
+        space_out = VarAttention(
+            cfg.embed_dim, cfg.num_heads, qkv_bias=cfg.qkv_bias,
+            proj_drop=cfg.drop_rate, dtype=self.dtype, name="attn",
+        )(ln("norm1")(time_residual), frames=frames, patches=patches,
+          axis="space", deterministic=deterministic)
+
+        space_out = self._drop_path(space_out, deterministic)
+        # Frozen-in-time quirk: residual from the ORIGINAL x, not from
+        # time_residual (reference :170-171).  Checkpoint parity requires it.
+        space_residual = x + space_out
+
+        mlp_out = Mlp(
+            int(cfg.embed_dim * cfg.mlp_ratio), cfg.embed_dim,
+            dropout=cfg.drop_rate, dtype=self.dtype, name="mlp",
+        )(ln("norm2")(space_residual), deterministic=deterministic)
+        return space_residual + self._drop_path(mlp_out, deterministic)
+
+    def _drop_path(self, x, deterministic):
+        if self.drop_path == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.drop_path
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+        return x * mask / keep
+
+
+class SpaceTimeTransformer(nn.Module):
+    """Divided space-time attention transformer; returns the CLS feature."""
+
+    cfg: VideoTowerConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, video, *, deterministic: bool = True):
+        """video: [B, T, H, W, 3] with T <= cfg.num_frames."""
+        cfg = self.cfg
+        B, T, H, W, C = video.shape
+        n = cfg.patches_per_frame
+        D = cfg.embed_dim
+
+        x = video.reshape(B * T, H, W, C).astype(self.dtype)
+        x = nn.Conv(
+            D,
+            kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x)  # [B*T, H/p, W/p, D]
+        x = x.reshape(B, T * n, D)
+
+        cls_token = self.param(
+            "cls_token", nn.initializers.truncated_normal(0.02), (1, 1, D)
+        )
+        pos_embed = self.param(
+            "pos_embed", nn.initializers.truncated_normal(0.02), (1, n + 1, D)
+        )
+        temporal_embed = self.param(
+            "temporal_embed", nn.initializers.zeros, (1, cfg.num_frames, D)
+        )
+
+        cls = jnp.broadcast_to(cls_token.astype(self.dtype), (B, 1, D))
+        x = jnp.concatenate([cls, x], axis=1)
+
+        # spatial pos tiled per frame: [1,2,..n,1,2,..n,...]; temporal embed
+        # repeated within each frame: [t0 x n, t1 x n, ...] (reference :311-317)
+        tile_pos = jnp.tile(pos_embed[:, 1:, :], (1, cfg.num_frames, 1))
+        tile_temporal = jnp.repeat(temporal_embed, n, axis=1)
+        total_pos = jnp.concatenate(
+            [pos_embed[:, :1, :], tile_pos + tile_temporal], axis=1
+        )
+        x = x + total_pos[:, : x.shape[1]].astype(self.dtype)
+        x = nn.Dropout(cfg.drop_rate)(x, deterministic=deterministic)
+
+        dpr = [float(r) for r in np.linspace(0.0, cfg.drop_path_rate, cfg.depth)]
+        for i in range(cfg.depth):
+            x = SpaceTimeBlock(
+                cfg, drop_path=dpr[i], dtype=self.dtype, name=f"block{i:02d}"
+            )(x, frames=T, patches=n, deterministic=deterministic)
+
+        x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=self.dtype, name="norm")(x)
+        return x[:, 0]

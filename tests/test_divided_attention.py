@@ -1,0 +1,75 @@
+"""Divided space-time attention vs. a naive per-group reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from egovlp_tpu.kernels.divided_attention import divided_attention
+
+
+def naive_divided_attention(q, k, v, frames, patches, axis):
+    """Direct loop implementation of the CLS-splice semantics."""
+    B, H, S, hd = q.shape
+    out = np.zeros_like(q)
+
+    def softmax(x):
+        e = np.exp(x - x.max(-1, keepdims=True))
+        return e / e.sum(-1, keepdims=True)
+
+    for b in range(B):
+        for h in range(H):
+            qq, kk, vv = q[b, h], k[b, h], v[b, h]
+            # CLS attends over everything
+            p = softmax(qq[0:1] @ kk.T)
+            out[b, h, 0] = (p @ vv)[0]
+            pk = kk[1:].reshape(frames, patches, hd)
+            pv = vv[1:].reshape(frames, patches, hd)
+            pq = qq[1:].reshape(frames, patches, hd)
+            if axis == "time":
+                pq, pk, pv = (t.transpose(1, 0, 2) for t in (pq, pk, pv))
+            G, L, _ = pq.shape
+            og = np.zeros((G, L, hd), q.dtype)
+            for g in range(G):
+                kg = np.concatenate([kk[0:1], pk[g]], 0)
+                vg = np.concatenate([vv[0:1], pv[g]], 0)
+                og[g] = softmax(pq[g] @ kg.T) @ vg
+            if axis == "time":
+                og = og.transpose(1, 0, 2)
+            out[b, h, 1:] = og.reshape(frames * patches, hd)
+    return out
+
+
+@pytest.mark.parametrize("axis", ["space", "time"])
+def test_matches_naive(rng, axis):
+    B, H, f, n, hd = 2, 3, 4, 5, 8
+    S = 1 + f * n
+    q = rng.normal(size=(B, H, S, hd)).astype(np.float32)
+    k = rng.normal(size=(B, H, S, hd)).astype(np.float32)
+    v = rng.normal(size=(B, H, S, hd)).astype(np.float32)
+
+    got = divided_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        frames=f, patches=n, axis=axis,
+    )
+    want = naive_divided_attention(q, k, v, f, n, axis)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
+def test_single_frame_space_equals_full_attention(rng):
+    """With one frame, space attention == vanilla full attention."""
+    B, H, n, hd = 1, 2, 6, 4
+    S = 1 + n
+    q = rng.normal(size=(B, H, S, hd)).astype(np.float32)
+    k = rng.normal(size=(B, H, S, hd)).astype(np.float32)
+    v = rng.normal(size=(B, H, S, hd)).astype(np.float32)
+
+    got = divided_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        frames=1, patches=n, axis="space",
+    )
+    logits = jnp.einsum("bhqd,bhkd->bhqk", jnp.asarray(q), jnp.asarray(k))
+    want = jnp.einsum(
+        "bhqk,bhkd->bhqd", jax.nn.softmax(logits, -1), jnp.asarray(v)
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)

@@ -1,0 +1,123 @@
+"""Model tower shape / invariant tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from egovlp_tpu.models import (
+    DistilBert,
+    DualEncoder,
+    DualEncoderConfig,
+    SpaceTimeTransformer,
+    TextTowerConfig,
+    VideoTowerConfig,
+    sim_matrix,
+)
+
+TINY_VIDEO = VideoTowerConfig(
+    img_size=32, patch_size=16, embed_dim=24, depth=2, num_heads=2,
+    num_frames=4,
+)
+TINY_TEXT = TextTowerConfig(
+    vocab_size=128, dim=24, n_layers=2, n_heads=2, hidden_dim=48,
+    max_position_embeddings=32,
+)
+
+
+def test_video_tower_shapes(rng):
+    model = SpaceTimeTransformer(TINY_VIDEO)
+    video = jnp.asarray(rng.normal(size=(2, 4, 32, 32, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), video)
+    out = model.apply(params, video)
+    assert out.shape == (2, TINY_VIDEO.embed_dim)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_video_tower_variable_frames(rng):
+    """T <= num_frames supported by slicing the positional table
+    (reference video_transformer.py:319-320)."""
+    model = SpaceTimeTransformer(TINY_VIDEO)
+    v4 = jnp.asarray(rng.normal(size=(1, 4, 32, 32, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), v4)
+    v2 = v4[:, :2]
+    out = model.apply(params, v2)
+    assert out.shape == (1, TINY_VIDEO.embed_dim)
+
+
+def test_zero_time_init_single_frame_equals_vit_path(rng):
+    """With time_init='zeros' the time-attention branch contributes exactly 0,
+    so the tower output must be invariant to the time-attention weights."""
+    model = SpaceTimeTransformer(TINY_VIDEO)
+    video = jnp.asarray(rng.normal(size=(1, 4, 32, 32, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), video)
+    out1 = model.apply(params, video)
+
+    # perturb only the time-attention *qkv bias is zero*: since qkv weights
+    # are zero, q=k=v=0 and output == proj_bias == 0 regardless of proj kernel.
+    p = jax.tree_util.tree_map(lambda x: x, params)
+    flat = jax.tree_util.tree_flatten_with_path(p)[0]
+    # scale every timeattn proj kernel by 7 — must not change anything
+    def mutate(path, x):
+        keys = "/".join(str(k) for k in path)
+        if "timeattn" in keys and "proj" in keys and "kernel" in keys:
+            return x * 7.0
+        return x
+    p = jax.tree_util.tree_map_with_path(mutate, p)
+    out2 = model.apply(p, video)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+
+def test_text_tower_shapes_and_mask(rng):
+    model = DistilBert(TINY_TEXT)
+    ids = jnp.asarray(rng.integers(0, 128, size=(3, 16)), jnp.int32)
+    mask = jnp.ones((3, 16), jnp.int32).at[:, 10:].set(0)
+    params = model.init(jax.random.PRNGKey(0), ids, mask)
+    out = model.apply(params, ids, mask)
+    assert out.shape == (3, 16, TINY_TEXT.dim)
+
+    # padded token content must not affect unmasked positions
+    ids2 = ids.at[:, 10:].set(77)
+    out2 = model.apply(params, ids2, mask)
+    np.testing.assert_allclose(
+        np.asarray(out[:, :10]), np.asarray(out2[:, :10]), atol=1e-5
+    )
+
+
+def test_dual_encoder_end_to_end(rng):
+    cfg = DualEncoderConfig(video=TINY_VIDEO, text=TINY_TEXT, projection_dim=8)
+    model = DualEncoder(cfg)
+    video = jnp.asarray(rng.normal(size=(2, 4, 32, 32, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 128, size=(2, 12)), jnp.int32)
+    mask = jnp.ones((2, 12), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), video, ids, mask)
+    t, v = model.apply(params, video, ids, mask)
+    assert t.shape == (2, 8) and v.shape == (2, 8)
+    sims = sim_matrix(t, v)
+    assert sims.shape == (2, 2)
+    assert np.all(np.abs(np.asarray(sims)) <= 1.0 + 1e-5)
+
+
+def test_dual_encoder_task_head_dims(rng):
+    """projection_dim doubles as OSCC (2) / PNR (16) head width."""
+    for dim in (2, 16):
+        cfg = DualEncoderConfig(video=TINY_VIDEO, text=TINY_TEXT,
+                                projection_dim=dim)
+        model = DualEncoder(cfg)
+        video = jnp.asarray(np.zeros((1, 4, 32, 32, 3)), jnp.float32)
+        params = model.init(
+            jax.random.PRNGKey(0), video,
+            jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32),
+        )
+        out = model.apply(params, video, method="encode_video")
+        assert out.shape == (1, dim)
+
+
+def test_sim_matrix_matches_cosine(rng):
+    a = rng.normal(size=(4, 6)).astype(np.float32)
+    b = rng.normal(size=(5, 6)).astype(np.float32)
+    want = (a / np.linalg.norm(a, axis=1, keepdims=True)) @ (
+        b / np.linalg.norm(b, axis=1, keepdims=True)
+    ).T
+    got = np.asarray(sim_matrix(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
