@@ -1,0 +1,229 @@
+"""Torch checkpoint -> Flax parameter conversion.
+
+Covers the three weight sources the reference consumes:
+
+  1. timm ViT-B/16 ImageNet-21k (`jx_vit_base_p16_224-80ecf9dd.pth`) used to
+     initialize the video tower (/root/reference/model/model.py:38-64); the
+     ViT dict lacks `timeattn` / `norm3` / `temporal_embed`, which keep
+     their fresh init — the reference loads with strict=False the same way.
+  2. HuggingFace `distilbert-base-uncased` for the text tower
+     (model.py:31-36).
+  3. Full EgoVLP checkpoints (`{state_dict: ...}` pickles, saved by
+     base/base_trainer.py:399-422) including the `module.` DataParallel
+     prefix normalization (utils/util.py:25-51) and the temporal
+     positional-embedding inflation rules (model.py:145-176).
+
+All converters take/return plain numpy; torch is only needed by
+`load_torch_weights` to unpickle `.pth` files.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Mapping
+
+import numpy as np
+
+from egovlp_tpu.models.dual_encoder import DualEncoderConfig
+from egovlp_tpu.models.video_tower import VideoTowerConfig
+
+Array = np.ndarray
+StateDict = Dict[str, Array]
+
+
+# --------------------------------------------------------------------------
+# generic helpers
+# --------------------------------------------------------------------------
+
+def load_torch_weights(path: str) -> StateDict:
+    """Load a torch pickle into {name: float32 numpy}. Handles both raw
+    state dicts (timm ViT file) and trainer checkpoints with a
+    ``state_dict`` field."""
+    import torch  # local import: torch is host-side tooling only
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return {k: np.asarray(v.float().numpy()) for k, v in obj.items()
+            if hasattr(v, "numpy")}
+
+
+def strip_data_parallel_prefix(sd: Mapping[str, Array]) -> StateDict:
+    """`module.`-prefix normalization (reference utils/util.py:25-51)."""
+    if not sd:
+        return dict(sd)
+    if all(k.startswith("module.") for k in sd):
+        return {k[len("module."):]: v for k, v in sd.items()}
+    return dict(sd)
+
+
+def inflate_temporal_embed(embed: Array, target_frames: int,
+                           mode: str = "zeros") -> Array:
+    """Temporal positional-embedding inflation (model.py:145-176).
+
+    embed: [1, F, D].  More frames than target -> truncate; fewer ->
+    zero-pad, nearest, or linear interpolation (torch ``interp``/
+    ``bilinear`` with align_corners=True degenerates to 1-D along frames
+    because the embedding width is unchanged).
+    """
+    _, f, d = embed.shape
+    if f == target_frames:
+        return embed
+    if f > target_frames:
+        return embed[:, :target_frames]
+    if mode == "zeros":
+        out = np.zeros((1, target_frames, d), embed.dtype)
+        out[:, :f] = embed
+        return out
+    if mode in ("interp", "bilinear", "nearest"):
+        if mode == "nearest":
+            # torch F.interpolate nearest: src = floor(i * F / F')
+            idx = np.floor(np.arange(target_frames) * f / target_frames)
+            return embed[:, idx.astype(int)]
+        # bilinear + align_corners=True: src = i * (F-1) / (F'-1)
+        src = np.arange(target_frames) * (f - 1) / (target_frames - 1)
+        lo = np.floor(src).astype(int)
+        hi = np.minimum(lo + 1, f - 1)
+        w = (src - lo)[None, :, None]
+        return embed[:, lo] * (1 - w) + embed[:, hi] * w
+    raise NotImplementedError(mode)
+
+
+def _linear(sd: Mapping[str, Array], name: str) -> Dict[str, Array]:
+    out = {"kernel": np.ascontiguousarray(sd[f"{name}.weight"].T)}
+    if f"{name}.bias" in sd:
+        out["bias"] = sd[f"{name}.bias"]
+    return out
+
+
+def _layernorm(sd: Mapping[str, Array], name: str) -> Dict[str, Array]:
+    return {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}
+
+
+# --------------------------------------------------------------------------
+# video tower (timm-ViT naming, which the reference's tower shares)
+# --------------------------------------------------------------------------
+
+def video_tower_params(sd: Mapping[str, Array], cfg: VideoTowerConfig,
+                       template: Mapping[str, object],
+                       load_temporal_fix: str = "zeros") -> Dict[str, object]:
+    """Build the Flax video-tower param tree from a torch state dict.
+
+    ``sd`` may be a plain timm ViT dict (no time-attention keys) or a full
+    SpaceTimeTransformer dict; ``template`` supplies fresh-init values for
+    any key absent from ``sd`` (== torch ``load_state_dict(strict=False)``).
+    """
+    p: Dict[str, object] = _deep_copy(template)
+
+    def have(k):
+        return k in sd
+
+    if have("patch_embed.proj.weight"):
+        # torch conv OIHW -> flax HWIO
+        p["patch_embed"] = {
+            "kernel": np.ascontiguousarray(
+                sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0)
+            ),
+            "bias": sd["patch_embed.proj.bias"],
+        }
+    for name in ("cls_token", "pos_embed"):
+        if have(name):
+            p[name] = sd[name]
+    if have("temporal_embed"):
+        p["temporal_embed"] = inflate_temporal_embed(
+            sd["temporal_embed"], cfg.num_frames, load_temporal_fix
+        )
+    if have("norm.weight"):
+        p["norm"] = _layernorm(sd, "norm")
+
+    for i in range(cfg.depth):
+        blk = p[f"block{i:02d}"]
+        t = f"blocks.{i}"
+        for ln in ("norm1", "norm2", "norm3"):
+            if have(f"{t}.{ln}.weight"):
+                blk[ln] = _layernorm(sd, f"{t}.{ln}")
+        for attn in ("attn", "timeattn"):
+            if have(f"{t}.{attn}.qkv.weight"):
+                blk[attn] = {
+                    "qkv": _linear(sd, f"{t}.{attn}.qkv"),
+                    "proj": _linear(sd, f"{t}.{attn}.proj"),
+                }
+        if have(f"{t}.mlp.fc1.weight"):
+            blk["mlp"] = {
+                "fc1": _linear(sd, f"{t}.mlp.fc1"),
+                "fc2": _linear(sd, f"{t}.mlp.fc2"),
+            }
+    return p
+
+
+# --------------------------------------------------------------------------
+# text tower (HF DistilBERT naming)
+# --------------------------------------------------------------------------
+
+def text_tower_params(sd: Mapping[str, Array], n_layers: int = 6) -> Dict[str, object]:
+    """HF `distilbert-base-uncased` torch dict -> Flax text-tower tree."""
+    p: Dict[str, object] = {
+        "word_embeddings": {
+            "embedding": sd["embeddings.word_embeddings.weight"]
+        },
+        "position_embeddings": {
+            "embedding": sd["embeddings.position_embeddings.weight"]
+        },
+        "embeddings_layer_norm": _layernorm(sd, "embeddings.LayerNorm"),
+    }
+    for i in range(n_layers):
+        t = f"transformer.layer.{i}"
+        p[f"layer{i:02d}"] = {
+            "attention": {
+                "q_lin": _linear(sd, f"{t}.attention.q_lin"),
+                "k_lin": _linear(sd, f"{t}.attention.k_lin"),
+                "v_lin": _linear(sd, f"{t}.attention.v_lin"),
+                "out_lin": _linear(sd, f"{t}.attention.out_lin"),
+            },
+            "sa_layer_norm": _layernorm(sd, f"{t}.sa_layer_norm"),
+            "ffn_lin1": _linear(sd, f"{t}.ffn.lin1"),
+            "ffn_lin2": _linear(sd, f"{t}.ffn.lin2"),
+            "output_layer_norm": _layernorm(sd, f"{t}.output_layer_norm"),
+        }
+    return p
+
+
+# --------------------------------------------------------------------------
+# full dual-encoder checkpoints
+# --------------------------------------------------------------------------
+
+def dual_encoder_params(sd: Mapping[str, Array], cfg: DualEncoderConfig,
+                        template: Mapping[str, object],
+                        load_temporal_fix: str = "zeros") -> Dict[str, object]:
+    """Full EgoVLP checkpoint -> Flax dual-encoder tree.
+
+    Reproduces FrozenInTime's load path (model.py:88-95): DataParallel
+    prefix fix, temporal inflation, strict load of video/text towers and
+    the two projection heads (torch Sequential indices: txt_proj.1 is the
+    Linear after the ReLU, vid_proj.0 the lone Linear; model.py:72-79).
+    """
+    sd = strip_data_parallel_prefix(sd)
+    out: Dict[str, object] = _deep_copy(template)
+
+    vid_sd = _subdict(sd, "video_model.")
+    txt_sd = _subdict(sd, "text_model.")
+    out["video_model"] = video_tower_params(
+        vid_sd, cfg.video, template["video_model"], load_temporal_fix
+    )
+    if txt_sd:
+        out["text_model"] = text_tower_params(txt_sd, cfg.text.n_layers)
+    if "txt_proj.1.weight" in sd:
+        out["txt_proj"] = _linear(sd, "txt_proj.1")
+    if "vid_proj.0.weight" in sd:
+        out["vid_proj"] = _linear(sd, "vid_proj.0")
+    return out
+
+
+def _subdict(sd: Mapping[str, Array], prefix: str) -> StateDict:
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def _deep_copy(tree):
+    if isinstance(tree, Mapping):
+        return {k: _deep_copy(v) for k, v in tree.items()}
+    return np.asarray(tree)
