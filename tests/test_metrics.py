@@ -1,0 +1,150 @@
+"""Metric golden tests, including the reference's own nDCG self-test."""
+
+import numpy as np
+import pytest
+
+from egovlp_tpu.metrics import (
+    calculate_DCG,
+    calculate_IDCG,
+    calculate_k_counts,
+    calculate_mAP,
+    calculate_nDCG,
+    charades_metrics,
+    egomcq_accuracy_metrics,
+    oscc_metrics,
+    pnr_metrics,
+    t2v_metrics,
+    v2t_metrics,
+)
+from egovlp_tpu.metrics.mir import mir_metrics_from_matrices
+
+
+def test_ndcg_reference_golden():
+    """The reference ships this exact self-test (utils/nDCG.py:136-164)."""
+    sim = np.array([
+        [1.0, 0.7, 0.4, 0.0],
+        [0.3, 0.9, 0.6, 0.1],
+        [0.2, 0.5, 0.8, 0.4],
+    ])
+    rel = np.array([
+        [1.0, 0.5, 0.25, 0.0],
+        [0.0, 1.0, 0.4, 0.0],
+        [0.5, 0.3, 1.0, 0.0],
+    ])
+    k = np.array([
+        [1, 1, 1, 0],
+        [1, 1, 0, 0],
+        [1, 1, 1, 0],
+    ])
+    assert (k == calculate_k_counts(rel)).all()
+    ndcg = calculate_nDCG(sim, rel, k)
+    assert ndcg == 0.9371789900735429
+    DCG = calculate_DCG(sim, rel, k)
+    IDCG = calculate_IDCG(rel, k)
+    assert ndcg == np.mean(DCG / IDCG)
+
+
+def test_map_perfect_and_worst():
+    rel = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    perfect = np.array([[0.9, 0.1, 0.0], [0.1, 0.9, 0.0]])
+    assert calculate_mAP(perfect, rel) == 1.0
+    worst = np.array([[0.0, 0.5, 0.9], [0.9, 0.0, 0.5]])
+    assert calculate_mAP(worst, rel) == pytest.approx(1 / 3)
+
+
+def test_map_graded_relevancy():
+    """Graded (non-1) relevancies contribute to cumulative gain but are not
+    counted as hits (reference utils/mAP.py:31-38)."""
+    rel = np.array([[0.5, 1.0]])
+    sim = np.array([[0.9, 0.1]])  # retrieves the 0.5-graded item first
+    # ranked rel = [0.5, 1.0]; hits at rank2: cum = 1.5, prec = 1.5/2
+    assert calculate_mAP(sim, rel) == pytest.approx(0.75)
+
+
+def test_t2v_v2t_identity():
+    n = 6
+    sims = np.eye(n) * 2 + np.random.default_rng(0).uniform(0, 0.5, (n, n))
+    m = t2v_metrics(sims)
+    assert m["R1"] == 100.0 and m["MedR"] == 1.0
+    m2 = v2t_metrics(sims)
+    assert m2["R1"] == 100.0
+
+
+def test_t2v_multiple_captions_per_video():
+    # 4 captions, 2 videos -> 2 captions each
+    sims = np.array([
+        [0.9, 0.1],
+        [0.2, 0.3],  # wrong: rank 1 for video 0
+        [0.1, 0.8],
+        [0.7, 0.6],  # wrong
+    ])
+    m = t2v_metrics(sims)
+    assert m["R1"] == pytest.approx(50.0)
+
+
+def test_egomcq_accuracy_grouping():
+    preds = np.array([
+        [0.9, 0.0, 0.0, 0.0, 0.0],  # type 1 correct (label 0)
+        [0.0, 0.9, 0.0, 0.0, 0.0],  # type 1 wrong   (label 0)
+        [0.0, 0.9, 0.0, 0.0, 0.0],  # type 2 correct (label 1)
+    ])
+    labels = np.array([0, 0, 1])
+    types = np.array([1, 1, 2])
+    m = egomcq_accuracy_metrics(preds, labels, types)
+    # ascending type ids map to (Intra, Inter) — see module docstring
+    assert m["Intra-video"] == pytest.approx(50.0)
+    assert m["Inter-video"] == pytest.approx(100.0)
+
+
+def test_oscc_metrics():
+    preds = np.array([[0.2, 0.8], [0.9, 0.1], [0.4, 0.6]])
+    labels = np.array([1, 0, 0])
+    assert oscc_metrics(preds, labels)["accuracy"] == pytest.approx(200 / 3)
+
+
+def test_pnr_metrics():
+    # one state-change clip: pred argmax at idx 4, parent 0..160 frames,
+    # pnr at frame 50, fps 10 -> mapped = 160/16*4 = 40, err = 10/10 = 1 s
+    preds = np.zeros((2, 16))
+    preds[0, 4] = 1.0
+    preds[1, 0] = 1.0  # non-state-change, ignored
+    m = pnr_metrics(
+        preds,
+        labels=np.zeros(2),
+        sc_labels=np.array([1, 0]),
+        fps=np.array([10.0, 30.0]),
+        parent_start_frames=np.array([0, 0]),
+        parent_end_frames=np.array([160, 160]),
+        parent_pnr_frames=np.array([50, 50]),
+    )
+    assert m["keyframe_distance"] == pytest.approx(1.0)
+
+
+def test_charades_metrics_empty_gt_rows():
+    gt = np.array([
+        [1, 0],
+        [0, 0],  # empty row -> scores forced to -inf
+        [0, 1],
+    ])
+    sub = np.array([
+        [0.9, 0.2],
+        [0.95, 0.9],  # would pollute both classes if not masked
+        [0.1, 0.8],
+    ])
+    m = charades_metrics(sub, gt)
+    assert m["mAP"] == pytest.approx(1.0)
+
+
+def test_mir_metrics_from_matrices_identity():
+    """Identity ordering + diagonal relevancy -> perfect retrieval."""
+    n = 4
+    rng = np.random.default_rng(1)
+    sim_tv = np.eye(n) + rng.uniform(-0.2, 0.2, (n, n))  # text x video
+    video_ids = [f"nar_{i}" for i in range(n)]
+    text_ids = list(video_ids)
+    relevancy = np.eye(n)
+    m = mir_metrics_from_matrices(
+        sim_tv, np.arange(n), video_ids, text_ids, relevancy
+    )
+    assert m["mAP_AVG"] == pytest.approx(100.0)
+    assert m["nDCG_AVG"] == pytest.approx(100.0)
