@@ -1,0 +1,227 @@
+"""Host-side frame readers.
+
+Behavioral reference: the reader registry in
+/root/reference/base/base_dataset.py:220-405.  Every reader returns a FIXED
+``[num_frames, pre, pre, 3]`` uint8 array (short-side resized + center
+cropped) plus the number of valid frames — static shapes for XLA; short
+reads are padded by repeating the last frame, exactly the reference's
+egoclip padding (base_dataset.py:291-292).
+
+Two decode backends:
+  * native: the C++ libav runtime (egovlp_tpu.data.native), preferred;
+  * cv2: OpenCV VideoCapture fallback mirroring the reference's seek loop.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from egovlp_tpu.data import native
+from egovlp_tpu.data.samplers import sample_frames, sample_frames_start_end
+
+EGOCLIP_FPS = 30  # EgoClip chunks are 30 fps (base_dataset.py:263-265)
+CHUNK_SEC = 600   # 600-second chunk files (EgoClip_EgoMCQ_dataset.py:23)
+
+
+# --------------------------------------------------------------------------
+# backend primitives
+# --------------------------------------------------------------------------
+
+def _resize_center_crop_cv2(frame_bgr: np.ndarray, pre: int) -> np.ndarray:
+    import cv2
+
+    h, w = frame_bgr.shape[:2]
+    if w <= h:
+        sw, sh = pre, int(h * pre / w)
+    else:
+        sh, sw = pre, int(w * pre / h)
+    img = cv2.resize(frame_bgr, (sw, sh), interpolation=cv2.INTER_LINEAR)
+    y0, x0 = (sh - pre) // 2, (sw - pre) // 2
+    img = img[y0:y0 + pre, x0:x0 + pre]
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+class _Cv2Video:
+    def __init__(self, path: str):
+        import cv2
+
+        self.cap = cv2.VideoCapture(path)
+        if not self.cap.isOpened():
+            raise IOError(f"cv2 cannot open {path}")
+        self.frame_count = int(self.cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        self.fps = float(self.cap.get(cv2.CAP_PROP_FPS))
+
+    def read_frames(self, indices, pre_size=256):
+        import cv2
+
+        out = np.zeros((len(indices), pre_size, pre_size, 3), np.uint8)
+        ok = 0
+        last = None
+        for i, idx in enumerate(indices):
+            idx = int(np.clip(idx, 0, max(self.frame_count - 1, 0)))
+            # reference seeks to index-1 then reads (base_dataset.py:229)
+            self.cap.set(cv2.CAP_PROP_POS_FRAMES, max(idx - 1, 0))
+            ret, frame = self.cap.read()
+            if ret:
+                last = _resize_center_crop_cv2(frame, pre_size)
+                out[i] = last
+                ok += 1
+            elif last is not None:
+                out[i] = last
+        return out, ok
+
+    def close(self):
+        self.cap.release()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def open_video(path: str, backend: str = "auto"):
+    if backend in ("auto", "native") and native.available():
+        try:
+            return native.NativeVideo(path)
+        except Exception:
+            if backend == "native":
+                raise
+    return _Cv2Video(path)
+
+
+def get_video_len(path: str, backend: str = "auto") -> int:
+    try:
+        with open_video(path, backend) as v:
+            return v.frame_count
+    except Exception:
+        return 0
+
+
+def _pad_to(frames: np.ndarray, valid: int, num_frames: int) -> np.ndarray:
+    """Repeat the last valid frame up to num_frames (static shape)."""
+    if valid == 0:
+        return np.zeros((num_frames,) + frames.shape[1:], np.uint8)
+    if frames.shape[0] == num_frames and valid == num_frames:
+        return frames
+    out = np.zeros((num_frames,) + frames.shape[1:], np.uint8)
+    n = min(valid, num_frames)
+    out[:n] = frames[:n]
+    out[n:] = frames[n - 1]
+    return out
+
+
+# --------------------------------------------------------------------------
+# readers (reference registry parity: base_dataset.py:397-405)
+# --------------------------------------------------------------------------
+
+def read_frames(video_path: str, num_frames: int, sample: str = "rand",
+                fix_start: Optional[int] = None, pre_size: int = 256,
+                rng: Optional[np.random.Generator] = None,
+                backend: str = "auto") -> Tuple[np.ndarray, List[int]]:
+    """Generic whole-video reader ('cv2'/'decord'/'av' equivalents)."""
+    with open_video(video_path, backend) as v:
+        idxs = sample_frames(num_frames, max(v.frame_count, 1), sample,
+                             fix_start=fix_start, rng=rng)
+        frames, ok = v.read_frames(idxs, pre_size)
+    return _pad_to(frames, ok, num_frames), idxs
+
+
+def read_frames_egoclip(video_path_1: str, video_path_2: str,
+                        num_frames: int, sample: str,
+                        start_sec: float, end_sec: float, bound_sec: float,
+                        pre_size: int = 256,
+                        rng: Optional[np.random.Generator] = None,
+                        backend: str = "auto"):
+    """EgoClip chunked reader (base_dataset.py:246-297): a clip may span two
+    600-s chunk files; global frame index = sec * 30, local index = modulo
+    chunk length; frames past ``bound_sec`` come from the second chunk."""
+    start_f = max(0, int(start_sec * EGOCLIP_FPS))
+    end_f = max(0, int(end_sec * EGOCLIP_FPS))
+    bound_f = int(bound_sec * EGOCLIP_FPS)
+    idxs = sample_frames_start_end(num_frames, start_f, end_f, sample=sample,
+                                   rng=rng)
+
+    same = video_path_1 == video_path_2
+    v1 = open_video(video_path_1, backend)
+    v2 = v1 if same else open_video(video_path_2, backend)
+    try:
+        chunk_len = CHUNK_SEC * EGOCLIP_FPS
+        locals_1, locals_2, order = [], [], []
+        for i, gidx in enumerate(idxs):
+            lidx = gidx % chunk_len
+            if gidx > bound_f:
+                locals_2.append(min(lidx, max(v2.frame_count - 1, 0)))
+                order.append((i, 2, len(locals_2) - 1))
+            else:
+                locals_1.append(min(lidx, max(v1.frame_count - 1, 0)))
+                order.append((i, 1, len(locals_1) - 1))
+        f1, ok1 = (v1.read_frames(locals_1, pre_size) if locals_1
+                   else (np.zeros((0, pre_size, pre_size, 3), np.uint8), 0))
+        f2, ok2 = (v2.read_frames(locals_2, pre_size) if locals_2
+                   else (np.zeros((0, pre_size, pre_size, 3), np.uint8), 0))
+        out = np.zeros((len(idxs), pre_size, pre_size, 3), np.uint8)
+        for i, which, j in order:
+            out[i] = f1[j] if which == 1 else f2[j]
+    finally:
+        v1.close()
+        if not same:
+            v2.close()
+    return _pad_to(out, len(idxs), num_frames), idxs
+
+
+def read_frames_epic(frame_dir: str, start_frame: int, stop_frame: int,
+                     num_frames: int, sample: str = "rand",
+                     fix_start: Optional[int] = None, pre_size: int = 256,
+                     rng: Optional[np.random.Generator] = None):
+    """EPIC-Kitchens pre-extracted JPEG reader (base_dataset.py:299-316):
+    frames live as frame_%010d.jpg in a directory."""
+    import cv2
+
+    idxs = sample_frames_start_end(num_frames, start_frame, stop_frame,
+                                   sample=sample, fix_start=fix_start, rng=rng)
+    out = np.zeros((len(idxs), pre_size, pre_size, 3), np.uint8)
+    ok = 0
+    for i, idx in enumerate(idxs):
+        path = os.path.join(frame_dir, f"frame_{int(idx):010d}.jpg")
+        img = cv2.imread(path)
+        if img is None:
+            continue
+        out[i] = _resize_center_crop_cv2(img, pre_size)
+        ok += 1
+    return _pad_to(out, len(idxs), num_frames), idxs
+
+
+def read_frames_charades(video_path: str, num_frames: int, sample: str,
+                         start_sec: Optional[float] = None,
+                         end_sec: Optional[float] = None,
+                         pre_size: int = 256,
+                         rng: Optional[np.random.Generator] = None,
+                         backend: str = "auto"):
+    """CharadesEgo reader (base_dataset.py:318-349): optional second-based
+    bounds scaled by the container fps."""
+    with open_video(video_path, backend) as v:
+        if not start_sec and not end_sec:
+            idxs = sample_frames(num_frames, max(v.frame_count, 1), sample,
+                                 rng=rng)
+        else:
+            fps = v.fps or 30.0
+            start_f = max(0, int(start_sec * fps))
+            end_f = min(int(end_sec * fps), max(v.frame_count, 1))
+            idxs = sample_frames_start_end(num_frames, start_f, end_f,
+                                           sample=sample, rng=rng)
+        frames, ok = v.read_frames(idxs, pre_size)
+    return _pad_to(frames, ok, num_frames), idxs
+
+
+def read_image(path: str, pre_size: int = 256) -> np.ndarray:
+    """Single-image reader (CC3M, TextImageDataset equivalent)."""
+    import cv2
+
+    img = cv2.imread(path)
+    if img is None:
+        raise IOError(f"cannot read image {path}")
+    return _resize_center_crop_cv2(img, pre_size)[None]

@@ -1,0 +1,259 @@
+// egodecode: native video frame-extraction runtime for the TPU input
+// pipeline.
+//
+// Replaces the reference's decord/OpenCV python readers
+// (/root/reference/base/base_dataset.py:220-405) with a single C++
+// random-access decoder: open -> seek -> decode -> swscale (short-side
+// resize + center crop) -> tightly packed RGB24, so the Python host loop
+// only moves fixed-size uint8 buffers. Exposed as a C ABI consumed via
+// ctypes (egovlp_tpu/data/native.py).
+//
+// Build: make -C native (links libavformat/libavcodec/libavutil/libswscale).
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <vector>
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libswscale/swscale.h>
+}
+
+namespace {
+
+struct Decoder {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* codec = nullptr;
+  int stream_index = -1;
+  AVStream* stream = nullptr;
+  AVFrame* frame = nullptr;
+  AVPacket* pkt = nullptr;
+  SwsContext* sws = nullptr;
+  int sws_src_w = 0, sws_src_h = 0, sws_dst_w = 0, sws_dst_h = 0;
+  AVPixelFormat sws_src_fmt = AV_PIX_FMT_NONE;
+  int64_t frame_count = 0;
+  double fps = 0.0;
+  int64_t last_decoded_index = -2;  // for sequential fast path
+  std::string error;
+};
+
+int64_t guess_frame_count(Decoder* d) {
+  AVStream* st = d->stream;
+  if (st->nb_frames > 0) return st->nb_frames;
+  if (st->duration > 0 && d->fps > 0) {
+    double secs = st->duration * av_q2d(st->time_base);
+    return (int64_t)(secs * d->fps + 0.5);
+  }
+  if (d->fmt->duration > 0 && d->fps > 0) {
+    double secs = (double)d->fmt->duration / AV_TIME_BASE;
+    return (int64_t)(secs * d->fps + 0.5);
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* ed_open(const char* path) {
+  auto* d = new Decoder();
+  if (avformat_open_input(&d->fmt, path, nullptr, nullptr) < 0) {
+    delete d;
+    return nullptr;
+  }
+  if (avformat_find_stream_info(d->fmt, nullptr) < 0) {
+    avformat_close_input(&d->fmt);
+    delete d;
+    return nullptr;
+  }
+  const AVCodec* dec = nullptr;
+  d->stream_index =
+      av_find_best_stream(d->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, &dec, 0);
+  if (d->stream_index < 0 || !dec) {
+    avformat_close_input(&d->fmt);
+    delete d;
+    return nullptr;
+  }
+  d->stream = d->fmt->streams[d->stream_index];
+  d->codec = avcodec_alloc_context3(dec);
+  avcodec_parameters_to_context(d->codec, d->stream->codecpar);
+  d->codec->thread_count = 1;  // one decoder per worker thread
+  if (avcodec_open2(d->codec, dec, nullptr) < 0) {
+    avcodec_free_context(&d->codec);
+    avformat_close_input(&d->fmt);
+    delete d;
+    return nullptr;
+  }
+  AVRational r = d->stream->avg_frame_rate.num ? d->stream->avg_frame_rate
+                                               : d->stream->r_frame_rate;
+  d->fps = r.den ? av_q2d(r) : 0.0;
+  d->frame_count = guess_frame_count(d);
+  d->frame = av_frame_alloc();
+  d->pkt = av_packet_alloc();
+  return d;
+}
+
+void ed_close(void* h) {
+  if (!h) return;
+  auto* d = static_cast<Decoder*>(h);
+  if (d->sws) sws_freeContext(d->sws);
+  av_packet_free(&d->pkt);
+  av_frame_free(&d->frame);
+  avcodec_free_context(&d->codec);
+  avformat_close_input(&d->fmt);
+  delete d;
+}
+
+int64_t ed_frame_count(void* h) {
+  return h ? static_cast<Decoder*>(h)->frame_count : -1;
+}
+
+double ed_fps(void* h) { return h ? static_cast<Decoder*>(h)->fps : 0.0; }
+
+int ed_width(void* h) {
+  return h ? static_cast<Decoder*>(h)->codec->width : -1;
+}
+
+int ed_height(void* h) {
+  return h ? static_cast<Decoder*>(h)->codec->height : -1;
+}
+
+namespace {
+
+// Decode forward until reaching target_index (frame counter based on
+// presentation order after the last seek point).
+bool decode_to(Decoder* d, int64_t target_index) {
+  // Current stream position in frames, derived from pts of last frame.
+  while (true) {
+    int ret = avcodec_receive_frame(d->codec, d->frame);
+    if (ret == 0) {
+      int64_t idx;
+      if (d->frame->pts != AV_NOPTS_VALUE && d->fps > 0) {
+        double sec = d->frame->pts * av_q2d(d->stream->time_base);
+        idx = (int64_t)(sec * d->fps + 0.5);
+      } else {
+        idx = d->last_decoded_index + 1;
+      }
+      d->last_decoded_index = idx;
+      if (idx >= target_index) return true;
+      continue;
+    }
+    if (ret == AVERROR(EAGAIN)) {
+      // feed more packets
+      while (true) {
+        int r2 = av_read_frame(d->fmt, d->pkt);
+        if (r2 < 0) {
+          avcodec_send_packet(d->codec, nullptr);  // flush
+          break;
+        }
+        if (d->pkt->stream_index != d->stream_index) {
+          av_packet_unref(d->pkt);
+          continue;
+        }
+        int r3 = avcodec_send_packet(d->codec, d->pkt);
+        av_packet_unref(d->pkt);
+        if (r3 == 0 || r3 == AVERROR(EAGAIN)) break;
+      }
+      continue;
+    }
+    return false;  // EOF or error
+  }
+}
+
+bool seek_to(Decoder* d, int64_t index) {
+  if (index == d->last_decoded_index) return true;  // current frame cached
+  // Sequential fast path: target is ahead and near; just decode forward.
+  if (index > d->last_decoded_index &&
+      index - d->last_decoded_index <= 64) {
+    return decode_to(d, index);
+  }
+  double sec = d->fps > 0 ? index / d->fps : 0.0;
+  int64_t ts = (int64_t)(sec / av_q2d(d->stream->time_base) + 0.5);
+  if (av_seek_frame(d->fmt, d->stream_index, ts, AVSEEK_FLAG_BACKWARD) < 0) {
+    return false;
+  }
+  avcodec_flush_buffers(d->codec);
+  d->last_decoded_index = -2;
+  return decode_to(d, index);
+}
+
+// Convert d->frame to RGB24 with short-side resize to `pre` and center
+// crop pre x pre into out (pre*pre*3 bytes).
+bool convert_frame(Decoder* d, int pre, uint8_t* out) {
+  const int w = d->frame->width, h = d->frame->height;
+  if (w <= 0 || h <= 0) return false;
+  int sw, sh;
+  if (w <= h) {
+    sw = pre;
+    sh = (int)((int64_t)h * pre / w);
+  } else {
+    sh = pre;
+    sw = (int)((int64_t)w * pre / h);
+  }
+  if (!d->sws || d->sws_src_w != w || d->sws_src_h != h ||
+      d->sws_dst_w != sw || d->sws_dst_h != sh ||
+      d->sws_src_fmt != (AVPixelFormat)d->frame->format) {
+    if (d->sws) sws_freeContext(d->sws);
+    d->sws = sws_getContext(w, h, (AVPixelFormat)d->frame->format, sw, sh,
+                            AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr,
+                            nullptr);
+    d->sws_src_w = w;
+    d->sws_src_h = h;
+    d->sws_dst_w = sw;
+    d->sws_dst_h = sh;
+    d->sws_src_fmt = (AVPixelFormat)d->frame->format;
+  }
+  if (!d->sws) return false;
+
+  std::vector<uint8_t> tmp((size_t)sw * sh * 3);
+  uint8_t* dst_data[4] = {tmp.data(), nullptr, nullptr, nullptr};
+  int dst_linesize[4] = {sw * 3, 0, 0, 0};
+  sws_scale(d->sws, d->frame->data, d->frame->linesize, 0, h, dst_data,
+            dst_linesize);
+
+  const int x0 = (sw - pre) / 2, y0 = (sh - pre) / 2;
+  for (int row = 0; row < pre; ++row) {
+    std::memcpy(out + (size_t)row * pre * 3,
+                tmp.data() + ((size_t)(y0 + row) * sw + x0) * 3,
+                (size_t)pre * 3);
+  }
+  return true;
+}
+
+}  // namespace
+
+// Read |n| frames by index into out [n, pre, pre, 3] (uint8, packed).
+// Returns the number of successfully decoded frames; failed reads repeat
+// the last good frame (the reference pads the same way,
+// base_dataset.py:291-292). Indices must be non-decreasing for best
+// performance but any order works.
+int ed_read_frames(void* h, const int64_t* indices, int n, int pre,
+                   uint8_t* out) {
+  if (!h) return 0;
+  auto* d = static_cast<Decoder*>(h);
+  const size_t frame_bytes = (size_t)pre * pre * 3;
+  int ok = 0;
+  for (int i = 0; i < n; ++i) {
+    int64_t idx = indices[i];
+    if (d->frame_count > 0 && idx >= d->frame_count)
+      idx = d->frame_count - 1;
+    if (idx < 0) idx = 0;
+    bool good = seek_to(d, idx) && convert_frame(d, pre, out + i * frame_bytes);
+    if (!good) {
+      if (i > 0) {
+        std::memcpy(out + i * frame_bytes, out + (i - 1) * frame_bytes,
+                    frame_bytes);
+      } else {
+        std::memset(out + i * frame_bytes, 0, frame_bytes);
+      }
+    } else {
+      ++ok;
+    }
+  }
+  return ok;
+}
+
+}  // extern "C"
