@@ -1,0 +1,150 @@
+"""Host input pipeline: sharded sampling, threaded decode, static batches.
+
+Replaces the reference's torch DataLoader + DistributedSampler stack
+(/root/reference/base/base_data_loader.py).  TPU-native design:
+
+  * per-process sharding by ``jax.process_index()``-style (shard, world)
+    pair — each host decodes only its slice of the global batch
+    (the DistributedSampler contract, base_data_loader.py:112-132);
+  * a thread pool decodes items (the C++ decoder and cv2 release the GIL)
+    with a bounded in-order prefetch window, hiding decode latency behind
+    device steps the way the reference hides it behind 16 worker
+    processes;
+  * collation produces fixed-shape numpy batches; text is tokenized here
+    with static max_length so the jitted step never recompiles.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from egovlp_tpu.data.text import WordPieceTokenizer
+
+
+def shard_indices(n: int, *, epoch: int, shuffle: bool, seed: int,
+                  shard: int, num_shards: int,
+                  drop_last: bool = True) -> np.ndarray:
+    """Deterministic per-epoch index shard (DistributedSampler semantics:
+    shuffle by seed+epoch, pad/trim to equal shards)."""
+    idx = np.arange(n)
+    if shuffle:
+        idx = np.random.default_rng(seed + epoch).permutation(n)
+    if drop_last:
+        per = n // num_shards
+        idx = idx[: per * num_shards]
+    else:
+        per = -(-n // num_shards)
+        pad = per * num_shards - n
+        if pad:
+            idx = np.concatenate([idx, idx[:pad]])
+    return idx[shard::num_shards]
+
+
+def collate(items: List[Dict[str, Any]],
+            tokenizer: Optional[WordPieceTokenizer] = None
+            ) -> Dict[str, Any]:
+    """Stack numpy fields; tokenize str fields to {key}_ids/{key}_mask."""
+    out: Dict[str, Any] = {}
+    keys = items[0].keys()
+    for k in keys:
+        v0 = items[0][k]
+        vals = [it[k] for it in items]
+        if isinstance(v0, str):
+            out[k] = vals
+            if tokenizer is not None:
+                ids, mask = tokenizer(vals)
+                out[f"{k}_ids"] = ids
+                out[f"{k}_mask"] = mask
+        elif isinstance(v0, np.ndarray) or np.isscalar(v0):
+            out[k] = np.stack([np.asarray(v) for v in vals])
+        elif isinstance(v0, (list, tuple)) and v0 and isinstance(v0[0], str):
+            out[k] = vals  # list of str-lists (e.g. MCQ text options)
+            if tokenizer is not None:
+                flat = [s for v in vals for s in v]
+                ids, mask = tokenizer(flat)
+                n = len(v0)
+                out[f"{k}_ids"] = ids.reshape(len(vals), n, -1)
+                out[f"{k}_mask"] = mask.reshape(len(vals), n, -1)
+        elif isinstance(v0, dict):
+            out[k] = vals
+        else:
+            out[k] = np.asarray(vals)
+    return out
+
+
+class Loader:
+    """Threaded prefetching loader over a TextVideoDataset."""
+
+    def __init__(self, dataset, batch_size: int,
+                 tokenizer: Optional[WordPieceTokenizer] = None,
+                 shuffle: Optional[bool] = None, seed: int = 0,
+                 num_workers: int = 8, prefetch_batches: int = 4,
+                 drop_last: bool = True, shard: int = 0, num_shards: int = 1,
+                 max_samples_per_epoch: Optional[int] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.tokenizer = tokenizer
+        self.shuffle = (dataset.cfg.split == "train") if shuffle is None else shuffle
+        self.seed = seed
+        self.num_workers = num_workers
+        self.prefetch_batches = prefetch_batches
+        self.drop_last = drop_last
+        self.shard = shard
+        self.num_shards = num_shards
+        self.max_samples_per_epoch = max_samples_per_epoch
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.max_samples_per_epoch:
+            n = min(n, self.max_samples_per_epoch)
+        per_shard = n // self.num_shards if self.drop_last else -(-n // self.num_shards)
+        return per_shard // self.batch_size if self.drop_last else -(-per_shard // self.batch_size)
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, Any]]:
+        n = len(self.dataset)
+        idx = shard_indices(n, epoch=epoch, shuffle=self.shuffle,
+                            seed=self.seed, shard=self.shard,
+                            num_shards=self.num_shards,
+                            drop_last=self.drop_last)
+        if self.max_samples_per_epoch:
+            idx = idx[: self.max_samples_per_epoch // self.num_shards]
+        batches = [
+            idx[i:i + self.batch_size]
+            for i in range(0, len(idx) - self.batch_size + 1, self.batch_size)
+        ] if self.drop_last else [
+            idx[i:i + self.batch_size] for i in range(0, len(idx), self.batch_size)
+        ]
+
+        def fetch_item(args):
+            i, item_idx = args
+            rng = np.random.default_rng(
+                (self.seed * 1_000_003 + epoch * 131 + int(item_idx)) & 0x7FFFFFFF
+            )
+            return self.dataset.get(int(item_idx), rng)
+
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            window: "queue.Queue" = queue.Queue()
+            it = iter(batches)
+
+            def submit_next():
+                try:
+                    b = next(it)
+                except StopIteration:
+                    return False
+                futs = [pool.submit(fetch_item, (j, bi)) for j, bi in enumerate(b)]
+                window.put(futs)
+                return True
+
+            for _ in range(self.prefetch_batches):
+                if not submit_next():
+                    break
+            while not window.empty():
+                futs = window.get()
+                submit_next()
+                items = [f.result() for f in futs]
+                yield collate(items, self.tokenizer)

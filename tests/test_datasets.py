@@ -1,0 +1,338 @@
+"""Dataset + pipeline tests over synthetic fixtures (tiny mp4s, jpeg dirs,
+metadata files)."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+pd = pytest.importorskip("pandas")
+
+from egovlp_tpu.data.datasets import (
+    CharadesEgoDataset,
+    DatasetConfig,
+    EgoClipDataset,
+    Ego4DOSCCDataset,
+    Ego4DPNRDataset,
+    EgoMCQDataset,
+    EpicMIRDataset,
+    dataset_factory,
+)
+from egovlp_tpu.data.pipeline import Loader, collate, shard_indices
+from tests.test_readers import make_video
+
+PRE = 32
+
+
+def _cfg(**kw):
+    kw.setdefault("pre_size", PRE)
+    kw.setdefault("loading", "strict")
+    return DatasetConfig(**kw)
+
+
+# --------------------------------------------------------------------------
+# fixtures
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def egoclip_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("egoclip")
+    (root / "vid_a").mkdir()
+    make_video(root / "vid_a" / "0.mp4", n_frames=90)  # 3 s @30fps
+    rows = []
+    for i in range(6):
+        rows.append({
+            "video_uid": "vid_a",
+            "video_dur": 3.0,
+            "narration_source": "narration_pass_1",
+            "narration_ind": i,
+            "narration_time": 0.2 + 0.4 * i,
+            "clip_start": 0.1 + 0.3 * i,
+            "clip_end": 0.8 + 0.3 * i,
+            "clip_text": f"#C C does thing {i}",
+            "tag_verb": f"[{i % 3}]",
+            "tag_noun": f"[{i % 4}]",
+        })
+    pd.DataFrame(rows).to_csv(root / "egoclip.csv", sep="\t", index=False)
+
+    mcq = {}
+    for q in range(3):
+        mcq[str(q)] = {
+            "query": {"video_uid": "vid_a", "clip_start": 0.1, "clip_end": 0.9,
+                      "clip_text": f"query {q}"},
+            "choices": {
+                str(i): {"video_uid": "vid_a", "clip_start": 0.2 * i,
+                         "clip_end": 0.2 * i + 0.5,
+                         "clip_text": f"opt {i}"}
+                for i in range(5)
+            },
+            "answer": q % 5,
+            "types": 1 + q % 2,
+        }
+    (root / "egomcq.json").write_text(json.dumps(mcq))
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def epic_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("epic")
+    n = 4
+    frame_dir = root / "P01" / "rgb_frames" / "P01_101"
+    frame_dir.mkdir(parents=True)
+    for i in range(1, 40):
+        img = np.full((48, 64, 3), min(i * 6, 255), np.uint8)
+        cv2.imwrite(str(frame_dir / f"frame_{i:010d}.jpg"), img)
+
+    clips = pd.DataFrame({
+        "narration_id": [f"P01_101_{i}" for i in range(n)],
+        "participant_id": ["P01"] * n,
+        "video_id": ["P01/rgb_frames/P01_101"] * n,
+        "narration_timestamp": ["00:00:01"] * n,
+        "start_timestamp": ["00:00:01"] * n,
+        "stop_timestamp": ["00:00:02"] * n,
+        "start_frame": [1 + 8 * i for i in range(n)],
+        "stop_frame": [9 + 8 * i for i in range(n)],
+        "narration": [f"cut the onion {i}" for i in range(n)],
+    })
+    clips.to_csv(root / "EPIC_100_retrieval_train.csv", index=False)
+    clips.to_csv(root / "EPIC_100_retrieval_test.csv", index=False)
+    sent = pd.DataFrame({
+        "narration_id": [f"P01_101_{i}" for i in range(n)],
+        "narration": [f"cut the onion {i}" for i in range(n)],
+    })
+    sent.to_csv(root / "EPIC_100_retrieval_train_sentence.csv", index=False)
+    sent.to_csv(root / "EPIC_100_retrieval_test_sentence.csv", index=False)
+    (root / "relevancy").mkdir()
+    rel = np.eye(n) * 1.0 + 0.05
+    for name in ("train", "test"):
+        with open(root / "relevancy" /
+                  f"caption_relevancy_EPIC_100_retrieval_{name}.pkl", "wb") as f:
+            pickle.dump(rel, f)
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def charades_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("charades")
+    make_video(root / "VID01EGO.mp4", n_frames=60)
+    pd.DataFrame({
+        "id": ["VID01EGO"] * 2,
+        "narration": ["someone opens a door", "a person sits"],
+        "cls": ["c092", "c101"],
+        "t_start": [0.0, 0.5],
+        "t_end": [1.0, 1.5],
+    }).to_csv(root / "metadata_train.csv", sep="\t", index=False)
+    pd.DataFrame({
+        "id": ["VID01EGO"],
+        "subject": ["s1"], "scene": ["x"], "quality": [5], "relevance": [5],
+        "verified": ["Yes"],
+        "descriptions": ["a person opens a door then sits"],
+        "actions": ["c092 0.0 1.0;c101 0.5 1.5"],
+        "length": [2.0],
+    }).to_csv(root / "CharadesEgo_v1_test_only1st.csv", index=False)
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def oscc_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("oscc")
+    clips = []
+    for u, state in (("uid_pos", True), ("uid_neg", False)):
+        d = root / ("frames_jpeg" if state else "frames_jpeg_neg") / u
+        d.mkdir(parents=True)
+        for fn in range(0, 400):
+            img = np.full((36, 48, 3), min(fn, 255), np.uint8)
+            cv2.imwrite(str(d / f"{fn}.jpeg"), img)
+        clips.append({
+            "unique_id": u,
+            "video_uid": "v",
+            "clip_id": "c",
+            "state_change": state,
+            "clip_pnr_frame": 100 if state else None,
+            "parent_pnr_frame": 150 if state else None,
+            "clip_start_sec": 0.0,
+            "clip_end_sec": 8.0,
+            "parent_start_sec": 0.0,
+            "parent_end_sec": 8.0,
+            "clip_start_frame": 0,
+            "clip_end_frame": 240,
+            "parent_start_frame": 0,
+            "parent_end_frame": 240,
+        })
+    for split in ("train", "val"):
+        (root / f"fho_oscc-pnr_{split}.json").write_text(
+            json.dumps({"clips": clips})
+        )
+    return str(root)
+
+
+# --------------------------------------------------------------------------
+# EgoClip / EgoMCQ
+# --------------------------------------------------------------------------
+
+def test_egoclip_train_item(egoclip_root, rng):
+    ds = EgoClipDataset(_cfg(data_dir=egoclip_root, split="train",
+                             num_frames=4))
+    assert len(ds) == 6
+    item = ds.get(0, rng)
+    assert item["frames"].shape == (4, PRE, PRE, 3)
+    assert item["noun_vec"].shape == (582,) and item["noun_vec"].sum() == 1
+    assert item["verb_vec"].shape == (118,)
+    assert item["text"] == "#C C does thing 0"
+
+
+def test_egoclip_scene_negatives(egoclip_root, rng):
+    ds = EgoClipDataset(_cfg(data_dir=egoclip_root, split="train",
+                             num_frames=4, neg_param=1))
+    item = ds.get(0, rng)
+    assert "frames_neg" in item and item["frames_neg"].shape == (4, PRE, PRE, 3)
+    assert "noun_vec_neg" in item and "text_neg" in item
+
+
+def test_egomcq_item(egoclip_root, rng):
+    ds = EgoMCQDataset(_cfg(data_dir=egoclip_root, split="val", num_frames=4))
+    assert len(ds) == 3
+    item = ds.get(1, rng)
+    assert item["frames_options"].shape == (5, 4, PRE, PRE, 3)
+    assert item["correct"] == 1
+    assert item["type"] in (1, 2)
+    assert len(item["text_options"]) == 5
+
+
+def test_dataset_factory_dispatch(egoclip_root):
+    ds = dataset_factory("EgoClip_EgoMCQ")(
+        _cfg(data_dir=egoclip_root, split="val", num_frames=2)
+    )
+    assert isinstance(ds, EgoMCQDataset)
+
+
+# --------------------------------------------------------------------------
+# EPIC
+# --------------------------------------------------------------------------
+
+def test_epic_train_item(epic_root, rng):
+    ds = EpicMIRDataset(_cfg(data_dir=epic_root, meta_dir=epic_root,
+                             split="train", num_frames=4))
+    item = ds.get(0, rng)
+    assert item["frames"].shape == (4, PRE, PRE, 3)
+    assert item["relation"] >= 0.1  # sampled positive carries relevancy
+    assert item["item_v"] == 0
+
+
+def test_epic_test_item(epic_root, rng):
+    ds = EpicMIRDataset(_cfg(data_dir=epic_root, meta_dir=epic_root,
+                             split="test", num_frames=4))
+    item = ds.get(2, rng)
+    assert item["text"] == "cut the onion 2"
+    assert item["item_t"] == -1
+
+
+# --------------------------------------------------------------------------
+# Charades
+# --------------------------------------------------------------------------
+
+def test_charades_train_item(charades_root, rng):
+    ds = CharadesEgoDataset(_cfg(data_dir=charades_root, split="train",
+                                 num_frames=4))
+    item = ds.get(0, rng)
+    assert item["frames"].shape == (4, PRE, PRE, 3)
+    assert item["target"] == 92
+
+
+def test_charades_val_multihot(charades_root, rng):
+    ds = CharadesEgoDataset(_cfg(data_dir=charades_root, split="val",
+                                 num_frames=4))
+    item = ds.get(0, rng)
+    assert item["target"].shape == (157,)
+    assert item["target"][92] == 1 and item["target"][101] == 1
+    assert item["target"].sum() == 2
+
+
+# --------------------------------------------------------------------------
+# OSCC / PNR
+# --------------------------------------------------------------------------
+
+def test_oscc_items(oscc_root, rng):
+    ds = Ego4DOSCCDataset(_cfg(data_dir=oscc_root, split="val",
+                               num_frames=16))
+    assert len(ds) == 2
+    pos = ds.get(0, rng)
+    assert pos["frames"].shape == (16, PRE, PRE, 3)
+    assert pos["state"] == 1
+    assert pos["labels"].sum() == 1.0  # one-hot keyframe
+    neg = ds.get(1, rng)
+    assert neg["state"] == 0
+
+
+def test_oscc_train_random_window(oscc_root, rng):
+    ds = Ego4DOSCCDataset(_cfg(data_dir=oscc_root, split="train",
+                               num_frames=16))
+    item = ds.get(0, rng)
+    assert item["frames"].shape == (16, PRE, PRE, 3)
+
+
+def test_pnr_keeps_only_state_change(oscc_root):
+    ds = Ego4DPNRDataset(_cfg(data_dir=oscc_root, split="val", num_frames=16))
+    assert len(ds) == 1
+
+
+# --------------------------------------------------------------------------
+# pipeline
+# --------------------------------------------------------------------------
+
+def test_shard_indices_disjoint_cover():
+    shards = [shard_indices(103, epoch=2, shuffle=True, seed=1, shard=s,
+                            num_shards=4) for s in range(4)]
+    lens = {len(s) for s in shards}
+    assert lens == {25}
+    union = np.concatenate(shards)
+    assert len(np.unique(union)) == 100  # 103 -> trim to 100, disjoint
+
+
+def test_loader_batches(egoclip_root, tmp_path):
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "c", "does", "thing",
+             "#", "0", "1", "2", "3", "4", "5"]
+    vp = tmp_path / "vocab.txt"
+    vp.write_text("\n".join(vocab))
+    from egovlp_tpu.data.text import WordPieceTokenizer
+
+    tok = WordPieceTokenizer(str(vp), max_length=8)
+    ds = EgoClipDataset(_cfg(data_dir=egoclip_root, split="train",
+                             num_frames=2))
+    loader = Loader(ds, batch_size=2, tokenizer=tok, num_workers=2, seed=7)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 3 == len(loader)
+    b = batches[0]
+    assert b["frames"].shape == (2, 2, PRE, PRE, 3)
+    assert b["text_ids"].shape == (2, 8)
+    assert b["noun_vec"].shape == (2, 582)
+
+
+def test_loader_sharded(egoclip_root):
+    ds = EgoClipDataset(_cfg(data_dir=egoclip_root, split="train",
+                             num_frames=2))
+    l0 = Loader(ds, batch_size=1, shard=0, num_shards=2, shuffle=False)
+    l1 = Loader(ds, batch_size=1, shard=1, num_shards=2, shuffle=False)
+    t0 = [b["text"][0] for b in l0.epoch(0)]
+    t1 = [b["text"][0] for b in l1.epoch(0)]
+    assert len(t0) == len(t1) == 3
+    assert not set(t0) & set(t1)
+
+
+def test_collate_mcq_text_options(tmp_path):
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "a", "b"]
+    vp = tmp_path / "v.txt"
+    vp.write_text("\n".join(vocab))
+    from egovlp_tpu.data.text import WordPieceTokenizer
+
+    tok = WordPieceTokenizer(str(vp), max_length=4)
+    items = [
+        {"text": "a", "text_options": ["a", "b", "a b", "b a", "a"]},
+        {"text": "b", "text_options": ["b", "a", "a a", "b b", "b"]},
+    ]
+    out = collate(items, tok)
+    assert out["text_ids"].shape == (2, 4)
+    assert out["text_options_ids"].shape == (2, 5, 4)
