@@ -1,0 +1,68 @@
+"""Orbax checkpointing.
+
+TPU-native replacement for the reference's torch pickle checkpoints
+(/root/reference/base/base_trainer.py:399-480): the same logical payload —
+``{params, opt_state, epoch, monitor_best}`` — saved per save_period epochs
+as ``checkpoint-epoch{N}`` plus a ``model_best`` copy on monitored-metric
+improvement, with resume restoring epoch/monitor/optimizer.  Orbax gives
+atomic async-safe multi-host writes instead of a single-process pickle.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str):
+        self.directory = Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    # ------------------------------------------------------------------
+    def save_epoch(self, epoch: int, state: Dict[str, Any],
+                   is_best: bool = False) -> Path:
+        path = self.directory / f"checkpoint-epoch{epoch}"
+        self._save(path, state)
+        if is_best:
+            self._save(self.directory / "model_best", state)
+        return path
+
+    def _save(self, path: Path, state: Dict[str, Any]):
+        if path.exists():
+            import shutil
+
+            shutil.rmtree(path)
+        self._ckptr.save(path, state)
+        self._ckptr.wait_until_finished()
+
+    # ------------------------------------------------------------------
+    def restore(self, path: Optional[str] = None,
+                template: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+        """Restore a checkpoint (default: latest epoch in the directory).
+        ``template`` is an abstract pytree with the target structure."""
+        p = Path(path) if path else self.latest()
+        if p is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        if template is not None:
+            template = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
+                                              template)
+            return self._ckptr.restore(p, template)
+        return self._ckptr.restore(p)
+
+    def latest(self) -> Optional[Path]:
+        best = None
+        best_epoch = -1
+        for child in self.directory.glob("checkpoint-epoch*"):
+            m = re.match(r"checkpoint-epoch(\d+)", child.name)
+            if m and int(m.group(1)) > best_epoch:
+                best_epoch = int(m.group(1))
+                best = child
+        return best

@@ -1,0 +1,236 @@
+"""Jitted task step functions.
+
+Each factory returns a jit-compiled ``step(state, batch, rng)`` fusing the
+on-device video transform, the dual-encoder forward, the global-batch loss
+and the optimizer update into one XLA program.  Batches arrive sharded over
+the ``data`` mesh axis and parameters replicated; XLA inserts the
+embedding all-gather (for the sim matrix) and the gradient psum — the
+semantics the reference builds by hand from `AllGather_multi` + DDP
+(SURVEY.md §2.7).
+
+Behavioral references per task: trainer_egoclip.py:82-180 (EgoNCE over
+gathered embeddings with verb/noun cosine masks), trainer_epic.py:110-135,
+trainer_charades.py:110-130, trainer_oscc.py:325-345,
+trainer_pnr.py:325-352.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from egovlp_tpu.data.transforms import eval_resize, random_resized_crop_flip
+from egovlp_tpu.models.dual_encoder import sim_matrix
+from egovlp_tpu.objectives import (
+    adaptive_max_margin,
+    cross_entropy,
+    egonce,
+    info_nce,
+    max_margin,
+)
+
+
+def numeric_batch(batch: dict) -> dict:
+    """Strip non-array leaves (raw caption strings, metadata dicts) so the
+    batch is a valid jit argument; keeps numpy/jax arrays and scalars."""
+    import numpy as np
+
+    def ok(v):
+        return isinstance(v, (jnp.ndarray, np.ndarray)) or np.isscalar(v)
+
+    return {k: v for k, v in batch.items() if ok(v) and not isinstance(v, str)}
+
+
+def arrays_only(step_fn: Callable) -> Callable:
+    """Wrap a jitted step so callers can pass raw collated batches."""
+    def wrapped(state, batch, rng):
+        return step_fn(state, numeric_batch(batch), rng)
+
+    return wrapped
+
+
+def _transform_train(rng, frames, res):
+    return random_resized_crop_flip(rng, frames, out_size=res)
+
+
+def _transform_eval(frames, res):
+    return eval_resize(frames, out_size=res)
+
+
+# --------------------------------------------------------------------------
+# EgoClip pretraining (EgoNCE / InfoNCE)
+# --------------------------------------------------------------------------
+
+def make_egoclip_train_step(loss_type: str = "EgoNCE", input_res: int = 224,
+                            temperature: float = 0.05, noun: bool = True,
+                            verb: bool = True):
+    @jax.jit
+    def step(state, batch, rng):
+        frames = batch["frames"]
+        ids = batch["text_ids"]
+        mask = batch["text_mask"]
+        noun_vec = batch["noun_vec"]
+        verb_vec = batch["verb_vec"]
+        if "frames_neg" in batch:
+            # scene-aware negatives double the batch (trainer :109-113)
+            frames = jnp.concatenate([frames, batch["frames_neg"]], 0)
+            ids = jnp.concatenate([ids, batch["text_neg_ids"]], 0)
+            mask = jnp.concatenate([mask, batch["text_neg_mask"]], 0)
+            noun_vec = jnp.concatenate([noun_vec, batch["noun_vec_neg"]], 0)
+            verb_vec = jnp.concatenate([verb_vec, batch["verb_vec_neg"]], 0)
+
+        t_rng, d_rng = jax.random.split(rng)
+        video = _transform_train(t_rng, frames, input_res)
+
+        def loss_fn(params):
+            t, v = state.apply_fn(
+                {"params": params}, video, ids, mask, deterministic=True
+            )
+            sim = sim_matrix(t, v)
+            if loss_type == "EgoNCE":
+                sim_v = sim_matrix(verb_vec, verb_vec)
+                sim_n = sim_matrix(noun_vec, noun_vec)
+                return egonce(sim, sim_v, sim_n, temperature, noun=noun,
+                              verb=verb)
+            return info_nce(sim, temperature)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    return arrays_only(step)
+
+
+# --------------------------------------------------------------------------
+# EPIC-Kitchens MIR fine-tuning (MaxMargin / Adaptive MI-MM)
+# --------------------------------------------------------------------------
+
+def make_epic_train_step(loss_type: str = "MaxMarginRankingLoss",
+                         input_res: int = 224, margin: float = 0.2,
+                         fix_norm: bool = True):
+    @jax.jit
+    def step(state, batch, rng):
+        video = _transform_train(rng, batch["frames"], input_res)
+
+        def loss_fn(params):
+            t, v = state.apply_fn(
+                {"params": params}, video, batch["text_ids"],
+                batch["text_mask"], deterministic=True
+            )
+            sim = sim_matrix(t, v)
+            if loss_type == "AdaptiveMaxMarginRankingLoss":
+                return adaptive_max_margin(sim, batch["relation"],
+                                           margin=margin, fix_norm=fix_norm)
+            return max_margin(sim, margin=margin, fix_norm=fix_norm)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    return arrays_only(step)
+
+
+# --------------------------------------------------------------------------
+# CharadesEgo fine-tuning (InfoNCE)
+# --------------------------------------------------------------------------
+
+def make_charades_train_step(input_res: int = 224, temperature: float = 0.05):
+    @jax.jit
+    def step(state, batch, rng):
+        video = _transform_train(rng, batch["frames"], input_res)
+
+        def loss_fn(params):
+            t, v = state.apply_fn(
+                {"params": params}, video, batch["text_ids"],
+                batch["text_mask"], deterministic=True
+            )
+            return info_nce(sim_matrix(t, v), temperature)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    return arrays_only(step)
+
+
+# --------------------------------------------------------------------------
+# Ego4D OSCC / PNR (video-only classification heads)
+# --------------------------------------------------------------------------
+
+def make_oscc_train_step(input_res: int = 224):
+    @jax.jit
+    def step(state, batch, rng):
+        video = _transform_train(rng, batch["frames"], input_res)
+
+        def loss_fn(params):
+            logits = state.apply_fn(
+                {"params": params}, video, method="encode_video",
+                deterministic=True,
+            )
+            return cross_entropy(logits, batch["state"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    return arrays_only(step)
+
+
+def make_pnr_train_step(input_res: int = 224):
+    @jax.jit
+    def step(state, batch, rng):
+        video = _transform_train(rng, batch["frames"], input_res)
+        targets = jnp.argmax(batch["labels"], axis=1)
+        state_mask = batch["state"].astype(jnp.float32)
+
+        def loss_fn(params):
+            logits = state.apply_fn(
+                {"params": params}, video, method="encode_video",
+                deterministic=True,
+            )
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            nll = -jnp.take_along_axis(logp, targets[:, None], axis=1)[:, 0]
+            # per-sample CE masked by the state-change flag
+            # (trainer_pnr.py:348-350; the PNR dataset is SC-only so the
+            # mask is all-ones there)
+            return jnp.sum(nll * state_mask) / jnp.maximum(
+                jnp.sum(state_mask), 1.0
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    return arrays_only(step)
+
+
+# --------------------------------------------------------------------------
+# shared eval embedding steps
+# --------------------------------------------------------------------------
+
+def make_embed_step(input_res: int = 224):
+    """Eval-transform + dual-encoder forward -> (text_emb, video_emb)."""
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def embed(apply_fn, params, frames, ids, mask):
+        video = _transform_eval(frames, input_res)
+        return apply_fn({"params": params}, video, ids, mask,
+                        deterministic=True)
+
+    return embed
+
+
+def make_video_embed_step(input_res: int = 224):
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def embed(apply_fn, params, frames):
+        video = _transform_eval(frames, input_res)
+        return apply_fn({"params": params}, video, method="encode_video",
+                        deterministic=True)
+
+    return embed
+
+
+def make_text_embed_step():
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def embed(apply_fn, params, ids, mask):
+        return apply_fn({"params": params}, ids, mask, method="encode_text",
+                        deterministic=True)
+
+    return embed
