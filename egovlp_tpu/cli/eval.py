@@ -1,0 +1,103 @@
+"""Offline evaluation CLI (the reference's run/test_*.py equivalents).
+
+    python -m egovlp_tpu.cli.eval --config configs/eval/egomcq.json \
+        --checkpoint results/models/.../model_best [--dual_softmax]
+
+Dispatches on the config's task: egomcq, epic (nDCG/mAP with optional
+dual-softmax, run/test_epic.py), charades (157-class mAP,
+run/test_charades.py), oscc, pnr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+
+from egovlp_tpu.evals.charades import evaluate_charades, load_charades_classes
+from egovlp_tpu.evals.egomcq import evaluate_egomcq
+from egovlp_tpu.evals.epic_mir import embed_dataset, evaluate_epic_mir
+from egovlp_tpu.evals.oscc_pnr import evaluate_oscc, evaluate_pnr
+from egovlp_tpu.io.checkpoints import CheckpointManager
+from egovlp_tpu.io.config import load_config
+from egovlp_tpu.io.logging import setup_logging
+from egovlp_tpu.metrics.mir import load_epic_annotations
+from egovlp_tpu.train import build
+from egovlp_tpu.train.recipes import _dl_args, infer_task
+
+
+def load_params(model, mcfg, arch, checkpoint, logger):
+    params = build.init_params(model, mcfg)
+    if checkpoint and checkpoint.endswith((".pth", ".bin", ".pt")):
+        arch = dict(arch)
+        arch.setdefault("args", {})["load_checkpoint"] = checkpoint
+        return build.load_pretrained(params, mcfg, arch, logger)
+    params = build.load_pretrained(params, mcfg, arch, logger)
+    if checkpoint:
+        restored = CheckpointManager(checkpoint).restore(
+            checkpoint, template={"params": params})
+        params = restored["params"]
+        logger.info("restored orbax checkpoint %s", checkpoint)
+    return params
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="egovlp_tpu evaluator")
+    ap.add_argument("--config", "-c", required=True)
+    ap.add_argument("--checkpoint", "-k", default=None,
+                    help="orbax dir or torch .pth")
+    ap.add_argument("--dual_softmax", action="store_true")
+    ap.add_argument("--split", default=None)
+    args = ap.parse_args(argv)
+
+    logger = setup_logging()
+    config = load_config(args.config)
+    task = infer_task(config)
+    arch = config["arch"]
+    model, mcfg = build.build_model(arch)
+    params = load_params(model, mcfg, arch, args.checkpoint, logger)
+
+    dl_args = _dl_args(config)
+    tokenizer = build.build_tokenizer(
+        config, int(config.get_path("arch.args.text_params.max_length", 30)))
+    input_res = int(config.get_path(
+        "data_loader.args.video_params.input_res", 224))
+    split = args.split or ("val" if task in ("egomcq", "egoclip", "oscc",
+                                             "pnr") else "test")
+
+    if task in ("egoclip", "egomcq"):
+        loader = build.build_loader(dl_args, split, tokenizer, batch_size=1)
+        loader.drop_last = False
+        metrics = evaluate_egomcq(model, params, loader, input_res,
+                                  progress=True)
+    elif task == "epic":
+        loader = build.build_loader(dl_args, split, tokenizer)
+        loader.drop_last = False
+        t, v, _ = embed_dataset(model, params, loader, input_res,
+                                progress=True)
+        video_ids, text_ids, rel = load_epic_annotations(
+            dl_args.get("meta_dir") or dl_args["data_dir"])
+        metrics = evaluate_epic_mir(t, v, video_ids, text_ids, rel,
+                                    use_dual_softmax=args.dual_softmax)
+    elif task == "charades":
+        loader = build.build_loader(dl_args, split, tokenizer)
+        loader.drop_last = False
+        classes = load_charades_classes(config.get(
+            "charades_classes",
+            f"{dl_args.get('meta_dir', dl_args['data_dir'])}/Charades_v1_classes.txt"))
+        metrics = evaluate_charades(model, params, loader, classes,
+                                    tokenizer, input_res, progress=True)
+    elif task in ("oscc", "pnr"):
+        loader = build.build_loader(dl_args, split, tokenizer)
+        loader.drop_last = False
+        ev = evaluate_oscc if task == "oscc" else evaluate_pnr
+        metrics = ev(model, params, loader, input_res, progress=True)
+    else:
+        raise NotImplementedError(task)
+
+    print(json.dumps(metrics, indent=2, default=float))
+
+
+if __name__ == "__main__":
+    main()

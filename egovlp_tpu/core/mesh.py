@@ -72,9 +72,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a pytree of host arrays with batch-axis sharding."""
+    """Device-put a pytree of host arrays with batch-axis sharding.
+
+    Single-process: a plain sharded device_put.  Multi-host: each process
+    holds only its local slice of the global batch (the per-process loader
+    shard), assembled into one global array via
+    ``jax.make_array_from_process_local_data``.
+    """
     sh = data_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() > 1:
+        put = lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x))
+    else:
+        put = lambda x: jax.device_put(x, sh)
+    return jax.tree_util.tree_map(put, batch)
 
 
 def local_batch_to_global(batch_per_device: int, mesh: Mesh) -> int:

@@ -1,0 +1,242 @@
+"""Task recipes: wire a config into loaders, steps, eval and the Trainer.
+
+One recipe per reference entry point (run/train_{egoclip,epic,charades,
+oscc,pnr}.py) dispatched by the config's ``task`` field (or inferred from
+the loss/dataset).  Each recipe returns the trained state.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from egovlp_tpu.core.mesh import MeshSpec, create_mesh, replicated, shard_batch
+from egovlp_tpu.evals.charades import evaluate_charades, load_charades_classes
+from egovlp_tpu.evals.egomcq import evaluate_egomcq
+from egovlp_tpu.evals.epic_mir import embed_dataset, evaluate_epic_mir
+from egovlp_tpu.evals.oscc_pnr import evaluate_oscc, evaluate_pnr
+from egovlp_tpu.io.checkpoints import CheckpointManager
+from egovlp_tpu.io.logging import MetricLogger, setup_logging
+from egovlp_tpu.metrics.mir import load_epic_annotations
+from egovlp_tpu.train import build
+from egovlp_tpu.train.state import create_train_state, make_optimizer, param_count
+from egovlp_tpu.train.steps import (
+    make_charades_train_step,
+    make_egoclip_train_step,
+    make_epic_train_step,
+    make_oscc_train_step,
+    make_pnr_train_step,
+)
+from egovlp_tpu.train.trainer import Trainer, TrainerConfig
+
+
+def infer_task(config) -> str:
+    if "task" in config:
+        return config["task"]
+    name = str(config.get_path("data_loader.args.dataset_name", ""))
+    return {
+        "EgoClip_EgoMCQ": "egoclip",
+        "MultiInstanceRetrieval": "epic",
+        "CharadesEgo": "charades",
+        "Ego4D_OSCC": "oscc",
+        "Ego4D_PNR": "pnr",
+    }.get(name, "egoclip")
+
+
+def _dl_args(config) -> Dict[str, Any]:
+    dl = config["data_loader"]
+    if isinstance(dl, list):
+        dl = dl[0]
+    return dict(dl.get("args", dl))
+
+
+def _make_train_epoch_fn(loader, step_fn, mesh, max_samples, log_step,
+                         logger, seed=0):
+    def train_epoch(state, epoch, mlog):
+        total, n = 0.0, 0
+        t0 = time.time()
+        for i, batch in enumerate(loader.epoch(epoch)):
+            if max_samples and (i + 1) * loader.batch_size > max_samples:
+                break
+            batch = shard_batch(
+                {k: v for k, v in batch.items()
+                 if isinstance(v, (np.ndarray, jnp.ndarray))}, mesh)
+            rng = jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(seed), epoch), i)
+            state, loss = step_fn(state, batch, rng)
+            total += float(loss)
+            n += 1
+            if i % log_step == 0:
+                mlog.set_step((epoch - 1) * len(loader) + i, "train")
+                mlog.scalar("loss", float(loss))
+                logger.info("epoch %d step %d loss %.4f (%.2f s/it)",
+                            epoch, i, float(loss),
+                            (time.time() - t0) / max(n, 1))
+        return state, {"loss_0": total / max(n, 1)}
+
+    return train_epoch
+
+
+def run_task(config, resume: Optional[str] = None):
+    logger = setup_logging()
+    task = infer_task(config)
+    logger.info("task: %s", task)
+
+    n_devices = config.get("n_devices")
+    devices = jax.devices()[:n_devices] if n_devices else None
+    mesh = create_mesh(MeshSpec(), devices)
+    arch = config["arch"]
+    model, mcfg = build.build_model(arch)
+    params = build.init_params(model, mcfg)
+    params = build.load_pretrained(params, mcfg, arch, logger)
+    logger.info("model: %.1fM params", param_count(params) / 1e6)
+
+    dl_args = _dl_args(config)
+    tok_len = int(config.get_path("arch.args.text_params.max_length", 30))
+    tokenizer = build.build_tokenizer(config, tok_len)
+    if tokenizer is None:
+        logger.warning("no vocab.txt found; text batches stay raw strings")
+
+    trainer_cfg = config.get("trainer", {})
+    max_samples = trainer_cfg.get("max_samples_per_epoch")
+    input_res = int(config.get_path(
+        "data_loader.args.video_params.input_res", 224))
+
+    # config batch_size is PER CHIP (the reference's per-GPU convention,
+    # configs/pt/egoclip.json bs 16/GPU); the host loader feeds the local
+    # slice of the global batch.
+    local_chips = sum(d.process_index == jax.process_index()
+                      for d in mesh.devices.flat)
+    per_chip_bs = int(dl_args.get("batch_size", 16))
+    dl_args = dict(dl_args)
+    dl_args["batch_size"] = per_chip_bs * max(local_chips, 1)
+    train_loader = build.build_loader(dl_args, "train", tokenizer,
+                                      max_samples_per_epoch=max_samples)
+    steps_per_epoch = max(len(train_loader), 1)
+
+    opt_args = config.get("optimizer", {}).get("args", {})
+    lr = float(opt_args.get("lr", 3e-5))
+    milestones = tuple(trainer_cfg.get("lr_milestones", (60, 80)))
+    tx = make_optimizer(lr, milestones, steps_per_epoch,
+                        weight_decay=float(opt_args.get("weight_decay", 0.0)))
+    state = create_train_state(model, params, tx)
+    state = jax.device_put(state, replicated(mesh))
+
+    loss_cfg = config.get("loss", {})
+    loss_type = loss_cfg.get("type", "EgoNCE")
+    loss_args = loss_cfg.get("args", {})
+
+    # ---- task step + validation --------------------------------------
+    if task == "egoclip":
+        step = make_egoclip_train_step(
+            loss_type=loss_type, input_res=input_res,
+            temperature=float(loss_args.get("temperature", 0.05)),
+            noun=bool(loss_args.get("noun", True)),
+            verb=bool(loss_args.get("verb", True)),
+        )
+        val_loader = build.build_loader(dl_args, "val", tokenizer,
+                                        batch_size=1)
+        val_loader.drop_last = False
+
+        def valid(state, epoch, mlog):
+            m = evaluate_egomcq(model, state.params, val_loader,
+                                input_res=input_res)
+            mlog.set_step(epoch, "val")
+            mlog.scalars(m)
+            return m
+
+    elif task == "epic":
+        step = make_epic_train_step(
+            loss_type=loss_type, input_res=input_res,
+            margin=float(loss_args.get("margin",
+                                       0.4 if "Adaptive" in loss_type else 0.2)),
+            fix_norm=bool(loss_args.get("fix_norm", True)),
+        )
+        val_loader = build.build_loader(dl_args, "test", tokenizer)
+        val_loader.drop_last = False
+
+        def valid(state, epoch, mlog):
+            t, v, idx = embed_dataset(model, state.params, val_loader,
+                                      input_res)
+            video_ids, text_ids, rel = load_epic_annotations(
+                dl_args.get("meta_dir") or dl_args["data_dir"])
+            m = evaluate_epic_mir(t, v, video_ids, text_ids, rel,
+                                  use_dual_softmax=bool(
+                                      config.get("dual_softmax", False)))
+            mlog.set_step(epoch, "val")
+            mlog.scalars(m)
+            return m
+
+    elif task == "charades":
+        step = make_charades_train_step(
+            input_res=input_res,
+            temperature=float(loss_args.get("temperature", 0.05)),
+        )
+        val_loader = build.build_loader(dl_args, "test", tokenizer)
+        val_loader.drop_last = False
+        classes_file = config.get(
+            "charades_classes",
+            f"{dl_args.get('meta_dir', dl_args['data_dir'])}/Charades_v1_classes.txt",
+        )
+
+        def valid(state, epoch, mlog):
+            m = evaluate_charades(
+                model, state.params, val_loader,
+                load_charades_classes(classes_file), tokenizer, input_res)
+            mlog.set_step(epoch, "val")
+            mlog.scalars(m)
+            return m
+
+    elif task in ("oscc", "pnr"):
+        step = (make_oscc_train_step(input_res) if task == "oscc"
+                else make_pnr_train_step(input_res))
+        val_loader = build.build_loader(dl_args, "val", tokenizer)
+        val_loader.drop_last = False
+        ev = evaluate_oscc if task == "oscc" else evaluate_pnr
+
+        def valid(state, epoch, mlog):
+            m = ev(model, state.params, val_loader, input_res)
+            mlog.set_step(epoch, "val")
+            mlog.scalars(m)
+            return m
+
+    else:
+        raise NotImplementedError(task)
+
+    # ---- run dirs / logging / resume ----------------------------------
+    dirs = config.make_run_dirs() if hasattr(config, "make_run_dirs") else {}
+    mlog = MetricLogger(str(dirs.get("tf", "")) or None,
+                        enabled=jax.process_index() == 0)
+    ckpt_dir = str(dirs.get("models", "checkpoints"))
+    ckpt = CheckpointManager(ckpt_dir)
+    start_epoch = 1
+    if resume:
+        restored = ckpt.restore(resume, template={
+            "params": state.params, "opt_state": state.opt_state,
+            "step": state.step, "epoch": 0, "monitor_best": 0.0,
+        })
+        state = state.replace(params=restored["params"],
+                              opt_state=restored["opt_state"],
+                              step=restored["step"])
+        start_epoch = int(restored["epoch"]) + 1
+        logger.info("resumed from %s at epoch %d", resume, start_epoch)
+
+    tcfg = TrainerConfig(
+        epochs=int(trainer_cfg.get("epochs", 10)),
+        save_period=int(trainer_cfg.get("save_period", 1)),
+        monitor=trainer_cfg.get("monitor", "off"),
+        early_stop=int(trainer_cfg.get("early_stop", 10)),
+        init_val=bool(trainer_cfg.get("init_val", False)),
+        save_dir=ckpt_dir,
+        start_epoch=start_epoch,
+    )
+    log_step = int(np.sqrt(train_loader.batch_size)) or 1
+    train_epoch_fn = _make_train_epoch_fn(
+        train_loader, step, mesh, max_samples, log_step, logger)
+    trainer = Trainer(tcfg, train_epoch_fn, valid, ckpt=ckpt,
+                      metric_logger=mlog)
+    return trainer.train(state)
