@@ -1,0 +1,112 @@
+"""HTML retrieval-ranking reports.
+
+Behavioral reference: /root/reference/utils/visualizer.py + utils/html.py
+(`RetrievalVis.visualize_ranking`: per-epoch HTML pages showing each text
+query with its ground-truth video and the top-k retrieved videos).  The
+reference builds pages with the `dominate` library; this implementation
+emits self-contained HTML directly (no dependency), one page per epoch
+under ``{web_dir}/ranking_ep{N}.html`` plus an index.
+"""
+
+from __future__ import annotations
+
+import html
+import os
+import random
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+_PAGE = """<!doctype html>
+<html><head><meta charset="utf-8"><title>{title}</title>
+<style>
+body {{ font-family: sans-serif; margin: 20px; }}
+.query {{ margin: 24px 0; padding: 12px; border: 1px solid #ccc; }}
+.rank {{ display: inline-block; margin: 4px; text-align: center;
+        vertical-align: top; }}
+.rank video, .rank img {{ width: 220px; }}
+.gt {{ outline: 3px solid #2a2; }}
+.label {{ font-size: 12px; color: #444; max-width: 220px; }}
+</style></head><body>
+<h1>{title}</h1>
+{body}
+</body></html>
+"""
+
+
+def _media_tag(path: str) -> str:
+    p = html.escape(str(path))
+    if p.endswith((".jpg", ".jpeg", ".png")):
+        return f'<img src="{p}">'
+    return f'<video controls muted src="{p}"></video>'
+
+
+class RetrievalVisualizer:
+    """Top-k retrieval report writer.
+
+    Args:
+      web_dir: output directory for the HTML pages.
+      num_samples: number of (randomly chosen) queries per page.
+      top_k: retrieved items shown per query.
+    """
+
+    def __init__(self, web_dir: str, num_samples: int = 20, top_k: int = 5,
+                 seed: int = 0):
+        self.web_dir = Path(web_dir)
+        self.num_samples = num_samples
+        self.top_k = top_k
+        self.rng = random.Random(seed)
+        self.web_dir.mkdir(parents=True, exist_ok=True)
+
+    def visualize_ranking(self, sims: np.ndarray, epoch: int,
+                          queries: Sequence[str],
+                          paths: Sequence[str],
+                          gt_index: Optional[Sequence[int]] = None) -> Path:
+        """sims: [num_queries, num_videos]; queries: raw caption strings;
+        paths: video/image path per candidate (relative to web_dir);
+        gt_index: ground-truth candidate per query (default: diagonal)."""
+        sims = np.asarray(sims)
+        nq = sims.shape[0]
+        gt = (np.arange(nq) if gt_index is None
+              else np.asarray(gt_index).reshape(-1))
+        chosen = sorted(self.rng.sample(range(nq), min(self.num_samples, nq)))
+
+        sections: List[str] = []
+        for qi in chosen:
+            order = np.argsort(-sims[qi])[: self.top_k]
+            gt_rank = int(np.where(np.argsort(-sims[qi]) == gt[qi])[0][0]) + 1
+            cells = []
+            for r, vi in enumerate(order):
+                cls = "rank gt" if vi == gt[qi] else "rank"
+                cells.append(
+                    f'<div class="{cls}">{_media_tag(paths[vi])}'
+                    f'<div class="label">#{r + 1} sim={sims[qi, vi]:.3f}'
+                    f"</div></div>"
+                )
+            if gt[qi] not in order:
+                cells.append(
+                    f'<div class="rank gt">{_media_tag(paths[gt[qi]])}'
+                    f'<div class="label">GT (rank {gt_rank})</div></div>'
+                )
+            sections.append(
+                f'<div class="query"><b>{html.escape(str(queries[qi]))}</b>'
+                f" — GT rank {gt_rank}<br>{''.join(cells)}</div>"
+            )
+
+        page = self.web_dir / f"ranking_ep{epoch}.html"
+        page.write_text(_PAGE.format(
+            title=f"Retrieval ranking — epoch {epoch}",
+            body="\n".join(sections),
+        ))
+        self._write_index()
+        return page
+
+    def _write_index(self):
+        links = sorted(self.web_dir.glob("ranking_ep*.html"))
+        body = "<ul>" + "".join(
+            f'<li><a href="{p.name}">{p.name}</a></li>' for p in links
+        ) + "</ul>"
+        (self.web_dir / "index.html").write_text(
+            _PAGE.format(title="Retrieval reports", body=body)
+        )
