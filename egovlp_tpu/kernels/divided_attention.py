@@ -75,6 +75,18 @@ def divided_attention(
     cls_probs = jax.nn.softmax(cls_logits, axis=-1).astype(dtype)
     cls_out = jnp.einsum("bhqk,bhkd->bhqd", cls_probs, v)  # [B,H,1,hd]
 
+    if impl == "pallas" and axis == "time":
+        # transpose-free fused time attention on the natural (f, n) layout
+        from egovlp_tpu.kernels.pallas_attention import time_attention
+
+        nat = lambda t: t[:, :, 1:].reshape(B * H, frames, patches, hd)
+        out_t = time_attention(
+            nat(q), nat(k), nat(v),
+            cls_k.reshape(B * H, 1, hd), cls_v.reshape(B * H, 1, hd),
+        )
+        out_patches = out_t.reshape(B, H, frames * patches, hd)
+        return jnp.concatenate([cls_out, out_patches], axis=2)
+
     # --- Patch tokens: grouped attention, flattened to 3-D batched matmuls.
     if axis == "space":
         G, L = frames, patches

@@ -174,3 +174,146 @@ def _ga_bwd(res, do):
 
 
 grouped_attention.defvjp(_ga_fwd, _ga_bwd)
+
+
+# --------------------------------------------------------------------------
+# time-axis attention (frames per patch column), transpose-free
+# --------------------------------------------------------------------------
+#
+# The time-axis groups are tiny (L = frames <= 16) and there are n = 196 of
+# them per (batch, head): the batched-matmul formulation wastes the MXU
+# ([f, hd] @ [hd, f+1] tiles) AND needs a [B,H,f,n,hd] -> [B,H,n,f,hd]
+# transpose of every operand.  This kernel instead works directly on the
+# natural (f, n) layout: for each query frame fi the logits live as a
+# [f+1, n] tile (lanes = patches), softmax reduces across the <=17 sublane
+# rows, and outputs accumulate as [n, hd] broadcast multiply-adds on the
+# VPU.  No transpose, no HBM probabilities, one read of q/k/v per (b, h).
+
+
+def _time_fwd_kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref):
+    f = q_ref.shape[1]
+    ck = ck_ref[0].astype(jnp.float32)   # [1, hd]
+    cv = cv_ref[0].astype(jnp.float32)
+    k = [k_ref[0, g].astype(jnp.float32) for g in range(f)]   # each [n, hd]
+    v = [v_ref[0, g].astype(jnp.float32) for g in range(f)]
+
+    for fi in range(f):
+        qf = q_ref[0, fi].astype(jnp.float32)  # [n, hd]
+        rows = [jnp.sum(qf * ck, axis=-1)]     # cls logit, [n]
+        rows += [jnp.sum(qf * k[g], axis=-1) for g in range(f)]
+        logits = jnp.stack(rows, axis=0)       # [f+1, n]
+        m = jnp.max(logits, axis=0, keepdims=True)
+        e = jnp.exp(logits - m)
+        p = e / jnp.sum(e, axis=0, keepdims=True)
+        out = p[0][:, None] * cv
+        for g in range(f):
+            out = out + p[g + 1][:, None] * v[g]
+        o_ref[0, fi] = out.astype(o_ref.dtype)
+
+
+def _time_bwd_kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, do_ref,
+                     dq_ref, dk_ref, dv_ref, dck_ref, dcv_ref):
+    f = q_ref.shape[1]
+    ck = ck_ref[0].astype(jnp.float32)
+    cv = cv_ref[0].astype(jnp.float32)
+    k = [k_ref[0, g].astype(jnp.float32) for g in range(f)]
+    v = [v_ref[0, g].astype(jnp.float32) for g in range(f)]
+
+    dk_acc = [jnp.zeros_like(k[0]) for _ in range(f)]
+    dv_acc = [jnp.zeros_like(v[0]) for _ in range(f)]
+    dck = jnp.zeros_like(ck)
+    dcv = jnp.zeros_like(cv)
+
+    for fi in range(f):
+        qf = q_ref[0, fi].astype(jnp.float32)
+        do = do_ref[0, fi].astype(jnp.float32)  # [n, hd]
+        rows = [jnp.sum(qf * ck, axis=-1)]
+        rows += [jnp.sum(qf * k[g], axis=-1) for g in range(f)]
+        logits = jnp.stack(rows, axis=0)
+        m = jnp.max(logits, axis=0, keepdims=True)
+        e = jnp.exp(logits - m)
+        p = e / jnp.sum(e, axis=0, keepdims=True)  # [f+1, n]
+
+        dp = [jnp.sum(do * cv, axis=-1)]
+        dp += [jnp.sum(do * v[g], axis=-1) for g in range(f)]
+        dp = jnp.stack(dp, axis=0)                 # [f+1, n]
+        inner = jnp.sum(dp * p, axis=0, keepdims=True)
+        dl = p * (dp - inner)                      # [f+1, n]
+
+        dq = dl[0][:, None] * ck
+        dck = dck + jnp.sum(dl[0][:, None] * qf, axis=0, keepdims=True)
+        dcv = dcv + jnp.sum(p[0][:, None] * do, axis=0, keepdims=True)
+        for g in range(f):
+            dq = dq + dl[g + 1][:, None] * k[g]
+            dk_acc[g] = dk_acc[g] + dl[g + 1][:, None] * qf
+            dv_acc[g] = dv_acc[g] + p[g + 1][:, None] * do
+        dq_ref[0, fi] = dq.astype(dq_ref.dtype)
+
+    for g in range(f):
+        dk_ref[0, g] = dk_acc[g].astype(dk_ref.dtype)
+        dv_ref[0, g] = dv_acc[g].astype(dv_ref.dtype)
+    dck_ref[0] = dck.astype(dck_ref.dtype)
+    dcv_ref[0] = dcv.astype(dcv_ref.dtype)
+
+
+def _time_specs(BH, f, n, hd):
+    blk = pl.BlockSpec((1, f, n, hd), lambda i: (i, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    cls = pl.BlockSpec((1, 1, hd), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    return blk, cls
+
+
+def _time_fwd_call(q, k, v, cls_k, cls_v):
+    BH, f, n, hd = q.shape
+    blk, cls = _time_specs(BH, f, n, hd)
+    return pl.pallas_call(
+        _time_fwd_kernel,
+        grid=(BH,),
+        in_specs=[blk, blk, blk, cls, cls],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((BH, f, n, hd), q.dtype),
+        interpret=_use_interpret(),
+    )(q, k, v, cls_k, cls_v)
+
+
+def _time_bwd_call(q, k, v, cls_k, cls_v, do):
+    BH, f, n, hd = q.shape
+    blk, cls = _time_specs(BH, f, n, hd)
+    shapes = (
+        jax.ShapeDtypeStruct((BH, f, n, hd), q.dtype),
+        jax.ShapeDtypeStruct((BH, f, n, hd), q.dtype),
+        jax.ShapeDtypeStruct((BH, f, n, hd), q.dtype),
+        jax.ShapeDtypeStruct((BH, 1, hd), q.dtype),
+        jax.ShapeDtypeStruct((BH, 1, hd), q.dtype),
+    )
+    return pl.pallas_call(
+        _time_bwd_kernel,
+        grid=(BH,),
+        in_specs=[blk, blk, blk, cls, cls, blk],
+        out_specs=(blk, blk, blk, cls, cls),
+        out_shape=shapes,
+        interpret=_use_interpret(),
+    )(q, k, v, cls_k, cls_v, do)
+
+
+@jax.custom_vjp
+def time_attention(q, k, v, cls_k, cls_v):
+    """Fused time-axis attention on the natural (f, n) layout.
+
+    q/k/v: [BH, f, n, hd] (q pre-scaled); cls_k/cls_v: [BH, 1, hd].
+    For every patch column j, query frame fi attends over frames
+    {CLS, 0..f-1} at the same column.  Returns [BH, f, n, hd].
+    """
+    return _time_fwd_call(q, k, v, cls_k, cls_v)
+
+
+def _ta_fwd(q, k, v, cls_k, cls_v):
+    return _time_fwd_call(q, k, v, cls_k, cls_v), (q, k, v, cls_k, cls_v)
+
+
+def _ta_bwd(res, do):
+    return _time_bwd_call(*res, do)
+
+
+time_attention.defvjp(_ta_fwd, _ta_bwd)

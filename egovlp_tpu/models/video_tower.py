@@ -146,8 +146,9 @@ class SpaceTimeBlock(nn.Module):
         ln = lambda name: nn.LayerNorm(epsilon=cfg.ln_eps, dtype=self.dtype, name=name)
 
         if cfg.attention_impl == "auto":
-            space_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-            time_impl = "xla"  # time groups are tiny; kernel doesn't pay
+            on_tpu = jax.default_backend() == "tpu"
+            space_impl = "pallas" if on_tpu else "xla"
+            time_impl = "pallas" if on_tpu else "xla"
         else:
             space_impl = time_impl = cfg.attention_impl
 

@@ -82,3 +82,29 @@ def test_video_tower_pallas_impl_matches_xla(rng):
     out_p = SpaceTimeTransformer(cfg_p).apply(params, video)
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_time_attention_gradients_match_xla(rng):
+    """The transpose-free time kernel (fwd + bwd) vs the XLA path."""
+    B, H, f, n, hd = 1, 2, 4, 8, 16
+    S = 1 + f * n
+    q, k, v = (_rand(rng, B, H, S, hd) for _ in range(3))
+
+    def loss(impl):
+        def fn(q, k, v):
+            out = divided_attention(q, k, v, frames=f, patches=n,
+                                    axis="time", impl=impl)
+            return jnp.sum(out * jnp.cos(out))
+
+        return fn
+
+    np.testing.assert_allclose(
+        float(loss("pallas")(q, k, v)), float(loss("xla")(q, k, v)),
+        rtol=1e-5,
+    )
+    gx = jax.grad(loss("xla"), argnums=(0, 1, 2))(q, k, v)
+    gp = jax.grad(loss("pallas"), argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gp, gx, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=5e-5,
+                                   err_msg=f"d{name} mismatch")
