@@ -73,6 +73,27 @@ class TextVideoDataset:
             np.uint8,
         )
 
+    # -- test-time sliding-window expansion ------------------------------
+    def expand_temporal_windows(self, vlens, stride: int):
+        """Sliding-window test-time expansion (reference
+        base_dataset.py:76-83 `_fix_temporal_samples`): each video of
+        ``vlen`` frames becomes multiple items with ``fix_start`` offsets
+        0, stride, 2*stride, ... within one sampling interval.
+
+        Returns a list of (orig_index, fix_start) pairs; datasets that
+        support it remap item indices through this list and pass the
+        fix_start to their reader."""
+        assert self.cfg.split == "test", (
+            "sliding-window sampling is test-time only"
+        )
+        out = []
+        for i, vlen in enumerate(vlens):
+            acc = min(vlen, self.cfg.num_frames)
+            interval = max(int(vlen / max(acc, 1)), 1)
+            for fs in range(0, interval, stride):
+                out.append((i, fs))
+        return out
+
     def _decode_or_black(self, fn, *args, **kw) -> np.ndarray:
         """Run a reader; on failure follow the loading policy."""
         try:

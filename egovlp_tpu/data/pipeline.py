@@ -164,3 +164,45 @@ class Loader:
                 submit_next()
                 items = [f.result() for f in futs]
                 yield collate(items, self.tokenizer)
+
+
+def device_prefetch(iterator, mesh, depth: int = 2):
+    """Overlap host batch production + H2D transfer with device compute.
+
+    Shards up to ``depth`` upcoming batches onto the mesh while the current
+    step runs (JAX dispatch is async, so device_put of the next batch
+    proceeds during compute) — the role the reference fills with
+    pin_memory + CUDA prefetch in its torch DataLoaders.
+    """
+    from collections import deque
+
+    from egovlp_tpu.core.mesh import shard_batch
+
+    buf = deque()
+    for batch in iterator:
+        arrays = {k: v for k, v in batch.items()
+                  if isinstance(v, np.ndarray)}
+        buf.append(shard_batch(arrays, mesh))
+        if len(buf) > depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
+class MultiLoader:
+    """Round-robin over several Loaders (the reference trainers zip their
+    data_loader list, base/base_data_loader.py:134-150): each epoch yields
+    tuples with one batch per loader, length = min over loaders."""
+
+    def __init__(self, loaders):
+        self.loaders = list(loaders)
+
+    def __len__(self):
+        return min(len(l) for l in self.loaders)
+
+    @property
+    def batch_size(self):
+        return sum(l.batch_size for l in self.loaders)
+
+    def epoch(self, epoch: int = 0):
+        return zip(*(l.epoch(epoch) for l in self.loaders))

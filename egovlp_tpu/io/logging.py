@@ -87,3 +87,39 @@ class MetricLogger:
             self._tb.close()
         if self._jsonl is not None:
             self._jsonl.close()
+
+
+class Profiler:
+    """jax.profiler wrapper: capture a trace for chosen steps.
+
+    The reference has no profiling at all (SURVEY.md §5); on TPU a
+    first-class trace is the difference between guessing and knowing —
+    usage: ``prof = Profiler(log_dir, start=10, stop=13)`` then call
+    ``prof.step(i)`` once per training step.
+    """
+
+    def __init__(self, log_dir: Optional[str], start: int = -1,
+                 stop: int = -1):
+        self.log_dir = log_dir
+        self.start_step = start
+        self.stop_step = stop
+        self._active = False
+
+    def step(self, step: int):
+        if self.log_dir is None or self.start_step < 0:
+            return
+        import jax
+
+        if step == self.start_step and not self._active:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        elif step == self.stop_step and self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+
+    def close(self):
+        if self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+            self._active = False

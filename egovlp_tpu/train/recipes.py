@@ -56,15 +56,15 @@ def _dl_args(config) -> Dict[str, Any]:
 
 def _make_train_epoch_fn(loader, step_fn, mesh, max_samples, log_step,
                          logger, seed=0):
+    from egovlp_tpu.data.pipeline import device_prefetch
+
     def train_epoch(state, epoch, mlog):
         total, n = 0.0, 0
         t0 = time.time()
-        for i, batch in enumerate(loader.epoch(epoch)):
+        batches = device_prefetch(loader.epoch(epoch), mesh, depth=2)
+        for i, batch in enumerate(batches):
             if max_samples and (i + 1) * loader.batch_size > max_samples:
                 break
-            batch = shard_batch(
-                {k: v for k, v in batch.items()
-                 if isinstance(v, (np.ndarray, jnp.ndarray))}, mesh)
             rng = jax.random.fold_in(
                 jax.random.fold_in(jax.random.PRNGKey(seed), epoch), i)
             state, loss = step_fn(state, batch, rng)

@@ -306,7 +306,7 @@ def test_loader_batches(egoclip_root, tmp_path):
     batches = list(loader.epoch(0))
     assert len(batches) == 3 == len(loader)
     b = batches[0]
-    assert b["frames"].shape == (2, 2, PRE, PRE, 3)
+    assert b["frames"].shape == (2, 2, PRE, PRE * 3)  # channel-folded
     assert b["text_ids"].shape == (2, 8)
     assert b["noun_vec"].shape == (2, 582)
 
@@ -336,3 +336,53 @@ def test_collate_mcq_text_options(tmp_path):
     out = collate(items, tok)
     assert out["text_ids"].shape == (2, 4)
     assert out["text_options_ids"].shape == (2, 5, 4)
+
+
+def test_multi_loader_round_robin(egoclip_root):
+    from egovlp_tpu.data.pipeline import MultiLoader
+
+    ds = EgoClipDataset(_cfg(data_dir=egoclip_root, split="train",
+                             num_frames=2))
+    l0 = Loader(ds, batch_size=1, shuffle=False)
+    l1 = Loader(ds, batch_size=2, shuffle=False)
+    ml = MultiLoader([l0, l1])
+    assert len(ml) == 3
+    assert ml.batch_size == 3
+    tuples = list(ml.epoch(0))
+    assert len(tuples) == 3
+    b0, b1 = tuples[0]
+    assert b0["frames"].shape[0] == 1 and b1["frames"].shape[0] == 2
+
+
+def test_device_prefetch(egoclip_root):
+    import jax
+
+    from egovlp_tpu.core.mesh import MeshSpec, create_mesh
+    from egovlp_tpu.data.pipeline import device_prefetch
+
+    ds = EgoClipDataset(_cfg(data_dir=egoclip_root, split="train",
+                             num_frames=2))
+    loader = Loader(ds, batch_size=2, shuffle=False)
+    mesh = create_mesh(MeshSpec(), jax.devices()[:2])
+    batches = list(device_prefetch(loader.epoch(0), mesh))
+    assert len(batches) == 3
+    assert batches[0]["frames"].shape == (2, 2, PRE, PRE * 3)  # folded
+    assert "data" in str(batches[0]["frames"].sharding.spec)
+
+
+def test_collate_folds_channels(egoclip_root, rng):
+    ds = EgoClipDataset(_cfg(data_dir=egoclip_root, split="train",
+                             num_frames=2))
+    loader = Loader(ds, batch_size=2, shuffle=False)
+    b = next(iter(loader.epoch(0)))
+    assert b["frames"].shape == (2, 2, PRE, PRE * 3)
+
+
+def test_expand_temporal_windows(egoclip_root):
+    ds = EgoClipDataset(_cfg(data_dir=egoclip_root, split="test",
+                             num_frames=4))
+    pairs = ds.expand_temporal_windows([100, 8], stride=5)
+    # vlen 100 -> interval 25 -> fix_starts 0,5,10,15,20
+    assert [fs for i, fs in pairs if i == 0] == [0, 5, 10, 15, 20]
+    # vlen 8 -> interval 2 -> fix_start 0
+    assert [fs for i, fs in pairs if i == 1] == [0]
