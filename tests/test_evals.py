@@ -1,0 +1,142 @@
+"""Eval-path integration tests with tiny towers on synthetic fixtures."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from egovlp_tpu.data.datasets import (
+    CharadesEgoDataset,
+    DatasetConfig,
+    Ego4DOSCCDataset,
+    EpicMIRDataset,
+)
+from egovlp_tpu.data.pipeline import Loader
+from egovlp_tpu.data.text import WordPieceTokenizer
+from egovlp_tpu.models import DualEncoder, DualEncoderConfig
+
+from tests.test_datasets import charades_root, epic_root, oscc_root  # noqa: F401
+from tests.test_train_eval import TINY, RES, tiny_model, vocab_file  # noqa: F401
+
+
+def _cfg(**kw):
+    kw.setdefault("pre_size", RES)
+    return DatasetConfig(**kw)
+
+
+def test_epic_embed_and_mir_eval(epic_root, vocab_file, tiny_model):  # noqa: F811
+    from egovlp_tpu.evals.epic_mir import embed_dataset, evaluate_epic_mir
+
+    model, params = tiny_model
+    tok = WordPieceTokenizer(vocab_file, max_length=8)
+    ds = EpicMIRDataset(_cfg(data_dir=epic_root, meta_dir=epic_root,
+                             split="test", num_frames=4))
+    loader = Loader(ds, batch_size=2, tokenizer=tok, shuffle=False,
+                    drop_last=False)
+    t, v, idx = embed_dataset(model, params, loader, input_res=RES)
+    assert t.shape == (4, 8) and v.shape == (4, 8)
+    np.testing.assert_array_equal(idx, np.arange(4))
+
+    video_ids = [f"P01_101_{i}" for i in range(4)]
+    rel = np.eye(4)
+    for ds_flag in (False, True):
+        m = evaluate_epic_mir(t, v, video_ids, video_ids, rel,
+                              use_dual_softmax=ds_flag)
+        assert set(m) == {"nDCG_V2T", "nDCG_T2V", "nDCG_AVG",
+                          "mAP_V2T", "mAP_T2V", "mAP_AVG"}
+        for val in m.values():
+            assert 0 <= val <= 100
+
+
+def test_dual_softmax_shapes_and_scale(rng):
+    from egovlp_tpu.evals.epic_mir import dual_softmax
+
+    t = rng.normal(size=(5, 8)).astype(np.float32)
+    v = rng.normal(size=(5, 8)).astype(np.float32)
+    s = dual_softmax(t, v)
+    assert s.shape == (5, 5)
+    np.testing.assert_allclose(s.sum(axis=0), 1.0, rtol=1e-5)  # col softmax
+
+
+def test_charades_eval(charades_root, vocab_file, tiny_model, tmp_path):  # noqa: F811
+    from egovlp_tpu.evals.charades import evaluate_charades
+
+    model, params = tiny_model
+    tok = WordPieceTokenizer(vocab_file, max_length=8)
+    ds = CharadesEgoDataset(_cfg(data_dir=charades_root, split="val",
+                                 num_frames=4))
+    loader = Loader(ds, batch_size=1, tokenizer=tok, shuffle=False,
+                    drop_last=False)
+    classes = [f"someone does thing {i}" for i in range(157)]
+    m = evaluate_charades(model, params, loader, classes, tok, input_res=RES)
+    assert "mAP" in m
+
+
+def test_oscc_eval(oscc_root, tiny_model):  # noqa: F811
+    from egovlp_tpu.evals.oscc_pnr import evaluate_oscc
+
+    import dataclasses
+
+    video16 = dataclasses.replace(TINY.video, num_frames=16)
+    cfg = DualEncoderConfig(video=video16, text=TINY.text, projection_dim=2)
+    model = DualEncoder(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, RES, RES, 3)),
+        jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32),
+    )["params"]
+    ds = Ego4DOSCCDataset(_cfg(data_dir=oscc_root, split="val",
+                               num_frames=16))
+    loader = Loader(ds, batch_size=1, shuffle=False, drop_last=False)
+    m = evaluate_oscc(model, params, loader, input_res=RES)
+    assert 0 <= m["accuracy"] <= 100
+
+
+def test_feature_extraction(tmp_path, tiny_model, vocab_file):  # noqa: F811
+    """NLQ-style dense video + text feature extraction round trip."""
+    from egovlp_tpu.evals.features import (
+        extract_text_features,
+        extract_video_features,
+    )
+
+    model, params = tiny_model
+
+    class FakeDenseDataset:
+        def __len__(self):
+            return 2
+
+        def get(self, i, rng):
+            return {
+                "frames": np.zeros((10, RES, RES, 3), np.uint8),
+                "meta": {"clip_uid": f"clip_{i}"},
+            }
+
+    out = tmp_path / "feats"
+    extract_video_features(model, params, FakeDenseDataset(), str(out),
+                           num_frames=4, input_res=RES, micro_batch=2)
+    f = np.load(out / "clip_0.npy")
+    assert f.shape == (2, 8)  # 10 frames -> 2 windows of 4, proj dim 8
+
+    class FakeTextDataset:
+        def __len__(self):
+            return 3
+
+        def get(self, i, rng):
+            return {"text": f"query {i}",
+                    "meta": {"clip_uid": "clip_0"}}
+
+    tok = WordPieceTokenizer(vocab_file, max_length=8)
+    out_t = tmp_path / "tfeats"
+    extract_text_features(model, params, FakeTextDataset(), tok, str(out_t))
+    assert sorted(os.listdir(out_t)) == [
+        "clip_0_sentence_0.npy", "clip_0_sentence_1.npy",
+        "clip_0_sentence_2.npy",
+    ]
+    assert np.load(out_t / "clip_0_sentence_0.npy").shape == (8,)
+
+    # token-level features
+    out_tl = tmp_path / "tlfeats"
+    extract_text_features(model, params, FakeTextDataset(), tok, str(out_tl),
+                          token_level=True)
+    assert np.load(out_tl / "clip_0_sentence_0.npy").shape == (8, 8)
