@@ -227,3 +227,78 @@ def _deep_copy(tree):
     if isinstance(tree, Mapping):
         return {k: _deep_copy(v) for k, v in tree.items()}
     return np.asarray(tree)
+
+
+# --------------------------------------------------------------------------
+# reverse direction: Flax -> torch state dict (ecosystem interop)
+# --------------------------------------------------------------------------
+
+def export_dual_encoder(params: Mapping[str, object],
+                        cfg: DualEncoderConfig) -> StateDict:
+    """Export a Flax dual-encoder tree to a reference-convention torch
+    state dict (the exact inverse of `dual_encoder_params`), so checkpoints
+    trained here load into the original EgoVLP codebase/downstream tools."""
+    sd: StateDict = {}
+
+    def lin(prefix, node):
+        sd[f"{prefix}.weight"] = np.ascontiguousarray(
+            np.asarray(node["kernel"]).T)
+        if "bias" in node:
+            sd[f"{prefix}.bias"] = np.asarray(node["bias"])
+
+    def ln(prefix, node):
+        sd[f"{prefix}.weight"] = np.asarray(node["scale"])
+        sd[f"{prefix}.bias"] = np.asarray(node["bias"])
+
+    v = params["video_model"]
+    sd["video_model.patch_embed.proj.weight"] = np.ascontiguousarray(
+        np.asarray(v["patch_embed"]["kernel"]).transpose(3, 2, 0, 1))
+    sd["video_model.patch_embed.proj.bias"] = np.asarray(
+        v["patch_embed"]["bias"])
+    for name in ("cls_token", "pos_embed", "temporal_embed"):
+        sd[f"video_model.{name}"] = np.asarray(v[name])
+    ln("video_model.norm", v["norm"])
+    for i in range(cfg.video.depth):
+        blk = v[f"block{i:02d}"]
+        t = f"video_model.blocks.{i}"
+        for name in ("norm1", "norm2", "norm3"):
+            ln(f"{t}.{name}", blk[name])
+        for attn in ("attn", "timeattn"):
+            lin(f"{t}.{attn}.qkv", blk[attn]["qkv"])
+            lin(f"{t}.{attn}.proj", blk[attn]["proj"])
+        lin(f"{t}.mlp.fc1", blk["mlp"]["fc1"])
+        lin(f"{t}.mlp.fc2", blk["mlp"]["fc2"])
+
+    tmodel = params["text_model"]
+    sd["text_model.embeddings.word_embeddings.weight"] = np.asarray(
+        tmodel["word_embeddings"]["embedding"])
+    sd["text_model.embeddings.position_embeddings.weight"] = np.asarray(
+        tmodel["position_embeddings"]["embedding"])
+    ln("text_model.embeddings.LayerNorm", tmodel["embeddings_layer_norm"])
+    for i in range(cfg.text.n_layers):
+        layer = tmodel[f"layer{i:02d}"]
+        t = f"text_model.transformer.layer.{i}"
+        for name in ("q_lin", "k_lin", "v_lin", "out_lin"):
+            lin(f"{t}.attention.{name}", layer["attention"][name])
+        ln(f"{t}.sa_layer_norm", layer["sa_layer_norm"])
+        lin(f"{t}.ffn.lin1", layer["ffn_lin1"])
+        lin(f"{t}.ffn.lin2", layer["ffn_lin2"])
+        ln(f"{t}.output_layer_norm", layer["output_layer_norm"])
+
+    if "txt_proj" in params:
+        lin("txt_proj.1", params["txt_proj"])
+    if "vid_proj" in params:
+        lin("vid_proj.0", params["vid_proj"])
+    return sd
+
+
+def save_torch_checkpoint(params, cfg: DualEncoderConfig, path: str,
+                          epoch: int = 0, monitor_best: float = 0.0):
+    """Write a reference-compatible `{state_dict, epoch, monitor_best}`
+    torch pickle (the payload base_trainer.py:399-422 produces)."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_dual_encoder(params, cfg).items()}
+    torch.save({"state_dict": sd, "epoch": epoch,
+                "monitor_best": monitor_best, "arch": "FrozenInTime"}, path)

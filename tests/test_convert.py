@@ -205,3 +205,32 @@ def test_dual_encoder_full_checkpoint(rng):
     # text projection applies ReLU before the Linear (model.py:73-75)
     hidden = model.apply({"params": params}, video, method="encode_video")
     assert hidden.shape == (1, 8)
+
+
+def test_export_roundtrip(rng):
+    """flax -> torch state dict -> flax must be the identity."""
+    from egovlp_tpu.models import DualEncoder, DualEncoderConfig
+    from egovlp_tpu.models.convert import dual_encoder_params, export_dual_encoder
+
+    tcfg = TextTowerConfig(vocab_size=100, dim=32, n_layers=2, n_heads=4,
+                           hidden_dim=64, max_position_embeddings=48)
+    vcfg = VideoTowerConfig(img_size=32, patch_size=16, embed_dim=24, depth=2,
+                            num_heads=2, num_frames=4)
+    cfg = DualEncoderConfig(video=vcfg, text=tcfg, projection_dim=8)
+    model = DualEncoder(cfg)
+    video = jnp.asarray(rng.normal(size=(1, 4, 32, 32, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 100, size=(1, 8)), jnp.int32)
+    mask = jnp.ones((1, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(3), video, ids, mask)["params"]
+
+    sd = export_dual_encoder(params, cfg)
+    back = dual_encoder_params(sd, cfg, params)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_b[path]), rtol=1e-6,
+            err_msg=str(path),
+        )

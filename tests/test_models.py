@@ -121,3 +121,28 @@ def test_sim_matrix_matches_cosine(rng):
     ).T
     got = np.asarray(sim_matrix(jnp.asarray(a), jnp.asarray(b)))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_remat_matches_plain(rng):
+    """remat=True must be numerically identical (it only changes the
+    backward-pass memory schedule)."""
+    import dataclasses
+
+    cfg_r = dataclasses.replace(TINY_VIDEO, remat=True)
+    video = jnp.asarray(rng.normal(size=(1, 4, 32, 32, 3)), jnp.float32)
+    m0 = SpaceTimeTransformer(TINY_VIDEO)
+    params = m0.init(jax.random.PRNGKey(0), video)
+    out0 = m0.apply(params, video)
+    out1 = SpaceTimeTransformer(cfg_r).apply(params, video)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1), atol=1e-6)
+
+    g0 = jax.grad(lambda p: jnp.sum(m0.apply(p, video) ** 2))(params)
+    g1 = jax.grad(
+        lambda p: jnp.sum(SpaceTimeTransformer(cfg_r).apply(p, video) ** 2)
+    )(params)
+    a = jax.tree_util.tree_leaves(g0)
+    b = jax.tree_util.tree_leaves(g1)
+    for x, y in zip(a, b):
+        # recompute reorders f32 reductions; allow tiny drift
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-3, atol=2e-4)
