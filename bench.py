@@ -33,10 +33,11 @@ def main():
     model = DualEncoder(cfg, dtype=jnp.bfloat16)
 
     B, T, R, L = 16, cfg.video.num_frames, cfg.video.img_size, 30
+    P = 256  # host decoder pre-size; frames arrive channel-folded (pipeline.py)
     rng = np.random.default_rng(0)
     batch = {
-        "frames": rng.integers(0, 255, (B, T, R, R, 3)).astype(np.uint8),
-        "frames_neg": rng.integers(0, 255, (B, T, R, R, 3)).astype(np.uint8),
+        "frames": rng.integers(0, 255, (B, T, P, P * 3)).astype(np.uint8),
+        "frames_neg": rng.integers(0, 255, (B, T, P, P * 3)).astype(np.uint8),
         "text_ids": rng.integers(0, cfg.text.vocab_size, (B, L)).astype(np.int32),
         "text_mask": np.ones((B, L), np.int32),
         "text_neg_ids": rng.integers(0, cfg.text.vocab_size, (B, L)).astype(np.int32),

@@ -184,3 +184,59 @@ def train_transform(key, frames, out_size: int = 224,
 
 
 test_transform = eval_resize
+
+
+# --------------------------------------------------------------------------
+# eval-time multi-crop helpers (reference utils/custom_transforms.py:
+# center_plus_four_crops, center_plus_twohori_crops, TwoHoriCrop — used for
+# ensemble-style evaluation)
+# --------------------------------------------------------------------------
+
+def _crop_folded(x: jax.Array, top: int, left: int, size: int) -> jax.Array:
+    """x: [..., H, W*3] channel-folded; static crop box."""
+    return x[..., top:top + size, left * 3:(left + size) * 3]
+
+
+@functools.partial(jax.jit, static_argnames=("crop_size",))
+def center_plus_four_crops(frames: jax.Array, crop_size: int):
+    """-> [5, ...] stack: center + four corners (each crop_size^2)."""
+    if frames.ndim == 5:
+        frames = fold_channels(frames)
+    H, WC = frames.shape[-2], frames.shape[-1]
+    W = WC // 3
+    ct, cl = (H - crop_size) // 2, (W - crop_size) // 2
+    boxes = [
+        (ct, cl),                         # center
+        (0, 0),                           # top-left
+        (0, W - crop_size),               # top-right
+        (H - crop_size, 0),               # bottom-left
+        (H - crop_size, W - crop_size),   # bottom-right
+    ]
+    return jnp.stack([_crop_folded(frames, t, l, crop_size)
+                      for t, l in boxes])
+
+
+@functools.partial(jax.jit, static_argnames=("crop_size",))
+def center_plus_two_horizontal_crops(frames: jax.Array, crop_size: int):
+    """-> [3, ...] stack: center + left + right crops."""
+    if frames.ndim == 5:
+        frames = fold_channels(frames)
+    H, WC = frames.shape[-2], frames.shape[-1]
+    W = WC // 3
+    ct = (H - crop_size) // 2
+    boxes = [((H - crop_size) // 2, (W - crop_size) // 2),
+             (ct, 0), (ct, W - crop_size)]
+    return jnp.stack([_crop_folded(frames, t, l, crop_size)
+                      for t, l in boxes])
+
+
+@functools.partial(jax.jit, static_argnames=("crop_size", "index"))
+def two_horizontal_crop(frames: jax.Array, crop_size: int, index: int):
+    """TwoHoriCrop equivalent: index 0 = left, 1 = right."""
+    if frames.ndim == 5:
+        frames = fold_channels(frames)
+    H, WC = frames.shape[-2], frames.shape[-1]
+    W = WC // 3
+    left = 0 if index == 0 else W - crop_size
+    top = (H - crop_size) // 2
+    return _crop_folded(frames, top, left, crop_size)

@@ -138,3 +138,23 @@ def test_eval_resize_matches_torch_bilinear(rng):
     std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
     want = ((y - mean) / std).reshape(1, 2, 3, 8, 8).permute(0, 1, 3, 4, 2)
     np.testing.assert_allclose(got, want.numpy(), rtol=1e-4, atol=1e-4)
+
+
+def test_multi_crops(rng):
+    from egovlp_tpu.data.transforms import (
+        center_plus_four_crops,
+        center_plus_two_horizontal_crops,
+        two_horizontal_crop,
+    )
+
+    frames = rng.integers(0, 255, size=(1, 2, 48, 64, 3)).astype(np.uint8)
+    five = center_plus_four_crops(frames, 32)
+    assert five.shape == (5, 1, 2, 32, 32 * 3)
+    three = center_plus_two_horizontal_crops(frames, 32)
+    assert three.shape == (3, 1, 2, 32, 32 * 3)
+    left = two_horizontal_crop(frames, 32, 0)
+    right = two_horizontal_crop(frames, 32, 1)
+    assert left.shape == right.shape == (1, 2, 32, 32 * 3)
+    # left crop = vertically centered, horizontally at 0
+    folded = frames.reshape(1, 2, 48, 64 * 3)
+    np.testing.assert_array_equal(np.asarray(left), folded[..., 8:40, :96])
