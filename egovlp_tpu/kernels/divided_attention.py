@@ -134,3 +134,68 @@ def divided_attention(
     out_patches = out_g.reshape(B, H, frames * patches, hd)
 
     return jnp.concatenate([cls_out, out_patches], axis=2)
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=64)
+def _space_bsd(heads, scale):
+    from egovlp_tpu.kernels.pallas_attention import make_space_attention_bsd
+
+    return make_space_attention_bsd(heads, scale)
+
+
+@_functools.lru_cache(maxsize=64)
+def _time_bsd(heads, scale):
+    from egovlp_tpu.kernels.pallas_attention import make_time_attention_bsd
+
+    return make_time_attention_bsd(heads, scale)
+
+
+def divided_attention_bsd(q, k, v, *, heads: int, frames: int, patches: int,
+                          axis: str, impl: str = "pallas") -> jax.Array:
+    """Divided attention on UN-split [B, S, D] projections.
+
+    The transpose-free fast path: heads are lane-sliced inside the Pallas
+    kernels (pallas_attention.py: *_bsd), so between the qkv Dense and the
+    output projection no head transpose or scaling pass ever touches HBM.
+    ``impl != 'pallas'`` falls back to the head-split XLA op.
+    """
+    B, S, D = q.shape
+    hd = D // heads
+    scale = float(hd) ** -0.5
+
+    if impl != "pallas":
+        def split(t):
+            return t.reshape(B, S, heads, hd).transpose(0, 2, 1, 3)
+
+        out = divided_attention(split(q) * scale, split(k), split(v),
+                                frames=frames, patches=patches, axis=axis,
+                                impl=impl)
+        return out.transpose(0, 2, 1, 3).reshape(B, S, D)
+
+    dtype = q.dtype
+    q4 = q.reshape(B, S, heads, hd)
+    k4 = k.reshape(B, S, heads, hd)
+    v4 = v.reshape(B, S, heads, hd)
+
+    # CLS row (full attention) in XLA — one token, einsum avoids transposes.
+    cls_logits = jnp.einsum(
+        "bhd,bshd->bhs", q4[:, 0] * scale, k4,
+        preferred_element_type=jnp.float32,
+    )
+    cls_p = jax.nn.softmax(cls_logits, axis=-1).astype(dtype)
+    cls_out = jnp.einsum("bhs,bshd->bhd", cls_p, v4).reshape(B, 1, D)
+
+    qp = q[:, 1:].reshape(B, frames, patches, D)
+    kp = k[:, 1:].reshape(B, frames, patches, D)
+    vp = v[:, 1:].reshape(B, frames, patches, D)
+    ck = k[:, :1]
+    cv = v[:, :1]
+    if axis == "space":
+        out_p = _space_bsd(heads, scale)(qp, kp, vp, ck, cv)
+    else:
+        out_p = _time_bsd(heads, scale)(qp, kp, vp, ck, cv)
+    out_p = out_p.reshape(B, frames * patches, D)
+    return jnp.concatenate([cls_out, out_p], axis=1)

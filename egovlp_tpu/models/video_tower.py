@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from egovlp_tpu.kernels.divided_attention import divided_attention
+from egovlp_tpu.kernels.divided_attention import divided_attention_bsd
 
 
 @dataclasses.dataclass(frozen=True)
@@ -121,15 +121,11 @@ class VarAttention(nn.Module):
         )(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        def heads(t):
-            return t.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
-
-        q = heads(q) * (hd ** -0.5)
-        k, v = heads(k), heads(v)
-
-        out = divided_attention(q, k, v, frames=frames, patches=patches,
-                                axis=axis, impl=self.impl)
-        out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
+        # [B, S, D] straight into the attention op: with the Pallas path
+        # heads are lane-sliced in-kernel (no head transpose touches HBM).
+        out = divided_attention_bsd(q, k, v, heads=H, frames=frames,
+                                    patches=patches, axis=axis,
+                                    impl=self.impl)
 
         out = nn.Dense(
             D, kernel_init=proj_kernel_init, dtype=self.dtype, name="proj"

@@ -108,3 +108,38 @@ def test_time_attention_gradients_match_xla(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-5, atol=5e-5,
                                    err_msg=f"d{name} mismatch")
+
+
+def test_bsd_matches_head_split(rng):
+    """The [B, S, D] lane-sliced kernels (fwd + grad) vs the head-split XLA
+    path, both axes."""
+    from egovlp_tpu.kernels.divided_attention import divided_attention_bsd
+
+    B, H, f, n, hd = 2, 2, 3, 8, 16
+    D = H * hd
+    S = 1 + f * n
+    q, k, v = (_rand(rng, B, S, D) for _ in range(3))
+
+    for axis in ("space", "time"):
+        want = divided_attention_bsd(q, k, v, heads=H, frames=f, patches=n,
+                                     axis=axis, impl="xla")
+        got = divided_attention_bsd(q, k, v, heads=H, frames=f, patches=n,
+                                    axis=axis, impl="pallas")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-5, atol=3e-5, err_msg=axis)
+
+        def loss(impl):
+            def fn(q, k, v):
+                out = divided_attention_bsd(q, k, v, heads=H, frames=f,
+                                            patches=n, axis=axis, impl=impl)
+                return jnp.sum(out * jnp.cos(out))
+
+            return fn
+
+        gx = jax.grad(loss("xla"), argnums=(0, 1, 2))(q, k, v)
+        gp = jax.grad(loss("pallas"), argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gp, gx, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+                err_msg=f"{axis} d{name}",
+            )
