@@ -326,214 +326,233 @@ time_attention.defvjp(_ta_fwd, _ta_bwd)
 # The (B, H, S, hd) kernels above require materializing head-split
 # transposes of every operand (q/k/v/out, ~38 MB each at the pretraining
 # shape, x24 attention sites).  These variants consume the qkv projections
-# in their natural [B, frames, patches, D] layout: the per-head hd=64 slice
-# is just a lane-range block (BlockSpec index over the last axis), so no
-# data movement happens at all between the Dense projections and the
-# kernel.  q-scaling is applied inside the kernel (one less HBM pass).
+# in their natural [B, frames, patches, D] layout: a program owns a
+# 128-lane slice of D (Mosaic requires last block dims of 128), i.e.
+# 128/hd heads, and splits the individual hd-wide heads with static lane
+# slices in VMEM — no HBM data movement between the Dense projections and
+# the kernel.  q-scaling is applied in-kernel (one less HBM pass).
+
+LANE = 128
 
 
-def _mk_space_fwd(scale):
+def _lane_block(D: int, hd: int) -> int:
+    """Lane-block width: 128 when D is a multiple of it (Mosaic's minor-dim
+    requirement), otherwise the full D (also allowed).  Must be a multiple
+    of the head width."""
+    lb = LANE if D % LANE == 0 else D
+    assert lb % hd == 0, (D, hd)
+    return lb
+
+
+def _mk_space_fwd_bsd(scale, hd, hpb):
     def kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref):
-        q = q_ref[0, 0].astype(jnp.float32) * scale   # [n, hd]
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
-        ck = ck_ref[0]
-        cv = cv_ref[0]
-        logits = jnp.dot(q.astype(k.dtype), k.T,
-                         preferred_element_type=jnp.float32)
-        cls_col = jnp.dot(q.astype(k.dtype), ck.T,
-                          preferred_element_type=jnp.float32)
-        full = jnp.concatenate([cls_col, logits], axis=1)
-        m = jnp.max(full, axis=1, keepdims=True)
-        p = jnp.exp(full - m)
-        p = p / jnp.sum(p, axis=1, keepdims=True)
-        p = p.astype(v.dtype)
-        out = jnp.dot(p[:, 1:], v, preferred_element_type=jnp.float32)
-        out = out + p[:, :1].astype(jnp.float32) * cv.astype(jnp.float32)
-        o_ref[0, 0] = out.astype(o_ref.dtype)
+        for hp in range(hpb):
+            c = slice(hp * hd, (hp + 1) * hd)
+            q = q_ref[0, 0, :, c].astype(jnp.float32) * scale   # [L, hd]
+            k = k_ref[0, 0, :, c]
+            v = v_ref[0, 0, :, c]
+            ck = ck_ref[0, :, c]   # [1, hd]
+            cv = cv_ref[0, :, c]
+            qc = q.astype(k.dtype)
+            logits = jnp.dot(qc, k.T, preferred_element_type=jnp.float32)
+            cls_col = jnp.dot(qc, ck.T, preferred_element_type=jnp.float32)
+            full = jnp.concatenate([cls_col, logits], axis=1)
+            m = jnp.max(full, axis=1, keepdims=True)
+            pr = jnp.exp(full - m)
+            pr = pr / jnp.sum(pr, axis=1, keepdims=True)
+            pr = pr.astype(v.dtype)
+            out = jnp.dot(pr[:, 1:], v, preferred_element_type=jnp.float32)
+            out = out + pr[:, :1].astype(jnp.float32) * cv.astype(jnp.float32)
+            o_ref[0, 0, :, c] = out.astype(o_ref.dtype)
 
     return kernel
 
 
-def _mk_space_bwd(scale):
+def _mk_space_bwd_bsd(scale, hd, hpb):
     def kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, do_ref,
                dq_ref, dk_ref, dv_ref, dck_ref, dcv_ref):
-        q = q_ref[0, 0].astype(jnp.float32) * scale
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
-        ck = ck_ref[0]
-        cv = cv_ref[0]
-        do = do_ref[0, 0].astype(jnp.float32)
+        for hp in range(hpb):
+            c = slice(hp * hd, (hp + 1) * hd)
+            q = q_ref[0, 0, :, c].astype(jnp.float32) * scale
+            k = k_ref[0, 0, :, c]
+            v = v_ref[0, 0, :, c]
+            ck = ck_ref[0, :, c]
+            cv = cv_ref[0, :, c]
+            do = do_ref[0, 0, :, c].astype(jnp.float32)
 
-        qc = q.astype(k.dtype)
-        logits = jnp.dot(qc, k.T, preferred_element_type=jnp.float32)
-        cls_col = jnp.dot(qc, ck.T, preferred_element_type=jnp.float32)
-        full = jnp.concatenate([cls_col, logits], axis=1)
-        m = jnp.max(full, axis=1, keepdims=True)
-        e = jnp.exp(full - m)
-        p = e / jnp.sum(e, axis=1, keepdims=True)
+            qc = q.astype(k.dtype)
+            logits = jnp.dot(qc, k.T, preferred_element_type=jnp.float32)
+            cls_col = jnp.dot(qc, ck.T, preferred_element_type=jnp.float32)
+            full = jnp.concatenate([cls_col, logits], axis=1)
+            m = jnp.max(full, axis=1, keepdims=True)
+            e = jnp.exp(full - m)
+            pr = e / jnp.sum(e, axis=1, keepdims=True)
 
-        dp_cls = jnp.dot(do, cv.astype(jnp.float32).T,
+            dp_cls = jnp.dot(do, cv.astype(jnp.float32).T,
+                             preferred_element_type=jnp.float32)
+            dp = jnp.dot(do, v.astype(jnp.float32).T,
                          preferred_element_type=jnp.float32)
-        dp = jnp.dot(do, v.astype(jnp.float32).T,
-                     preferred_element_type=jnp.float32)
-        dp_full = jnp.concatenate([dp_cls, dp], axis=1)
-        inner = jnp.sum(dp_full * p, axis=1, keepdims=True)
-        dl = p * (dp_full - inner)
+            dp_full = jnp.concatenate([dp_cls, dp], axis=1)
+            inner = jnp.sum(dp_full * pr, axis=1, keepdims=True)
+            dl = pr * (dp_full - inner)
 
-        dlc = dl.astype(k.dtype)
-        dq = jnp.dot(dlc[:, 1:], k, preferred_element_type=jnp.float32)
-        dq = dq + jnp.dot(dlc[:, :1], ck, preferred_element_type=jnp.float32)
-        dq_ref[0, 0] = (dq * scale).astype(dq_ref.dtype)
-        dk_ref[0, 0] = jnp.dot(dlc[:, 1:].T, qc,
-                               preferred_element_type=jnp.float32
-                               ).astype(dk_ref.dtype)
-        dv_ref[0, 0] = jnp.dot(p[:, 1:].T.astype(do.dtype), do,
-                               preferred_element_type=jnp.float32
-                               ).astype(dv_ref.dtype)
-        dck_ref[0, 0] = jnp.dot(dlc[:, :1].T, qc,
-                                preferred_element_type=jnp.float32
-                                ).astype(dck_ref.dtype)
-        dcv_ref[0, 0] = jnp.dot(p[:, :1].T.astype(do.dtype), do,
-                                preferred_element_type=jnp.float32
-                                ).astype(dcv_ref.dtype)
+            dlc = dl.astype(k.dtype)
+            dq = jnp.dot(dlc[:, 1:], k, preferred_element_type=jnp.float32)
+            dq = dq + jnp.dot(dlc[:, :1], ck,
+                              preferred_element_type=jnp.float32)
+            dq_ref[0, 0, :, c] = (dq * scale).astype(dq_ref.dtype)
+            dk_ref[0, 0, :, c] = jnp.dot(
+                dlc[:, 1:].T, qc, preferred_element_type=jnp.float32
+            ).astype(dk_ref.dtype)
+            dv_ref[0, 0, :, c] = jnp.dot(
+                pr[:, 1:].T.astype(do.dtype), do,
+                preferred_element_type=jnp.float32,
+            ).astype(dv_ref.dtype)
+            dck_ref[0, 0, :, c] = jnp.dot(
+                dlc[:, :1].T, qc, preferred_element_type=jnp.float32
+            ).astype(dck_ref.dtype)
+            dcv_ref[0, 0, :, c] = jnp.dot(
+                pr[:, :1].T.astype(do.dtype), do,
+                preferred_element_type=jnp.float32,
+            ).astype(dcv_ref.dtype)
 
     return kernel
 
 
-def _space_bsd_specs(B, H, G, L, hd):
-    # arrays are [B, G, L, D]; a block is one (batch, group, head) tile
-    blk = pl.BlockSpec((1, 1, L, hd), lambda b, h, g: (b, g, 0, h),
+def _space_bsd_specs(L, lb):
+    blk = pl.BlockSpec((1, 1, L, lb), lambda b, h, g: (b, g, 0, h),
                        memory_space=pltpu.VMEM)
-    cls = pl.BlockSpec((1, 1, hd), lambda b, h, g: (b, 0, h),
+    cls = pl.BlockSpec((1, 1, lb), lambda b, h, g: (b, 0, h),
                        memory_space=pltpu.VMEM)
     return blk, cls
-
-
-def space_attention_bsd_fwd(q, k, v, cls_k, cls_v, heads: int, scale: float):
-    B, G, L, D = q.shape
-    hd = D // heads
-    blk, cls = _space_bsd_specs(B, heads, G, L, hd)
-    return pl.pallas_call(
-        _mk_space_fwd(scale),
-        grid=(B, heads, G),
-        in_specs=[blk, blk, blk, cls, cls],
-        out_specs=blk,
-        out_shape=jax.ShapeDtypeStruct((B, G, L, D), q.dtype),
-        interpret=_use_interpret(),
-    )(q, k, v, cls_k, cls_v)
-
-
-def space_attention_bsd_bwd(q, k, v, cls_k, cls_v, do, heads: int,
-                            scale: float):
-    B, G, L, D = q.shape
-    hd = D // heads
-    blk, cls = _space_bsd_specs(B, heads, G, L, hd)
-    cls_out = pl.BlockSpec((1, 1, 1, hd), lambda b, h, g: (b, g, 0, h),
-                           memory_space=pltpu.VMEM)
-    shapes = (
-        jax.ShapeDtypeStruct((B, G, L, D), q.dtype),
-        jax.ShapeDtypeStruct((B, G, L, D), q.dtype),
-        jax.ShapeDtypeStruct((B, G, L, D), q.dtype),
-        jax.ShapeDtypeStruct((B, G, 1, D), q.dtype),
-        jax.ShapeDtypeStruct((B, G, 1, D), q.dtype),
-    )
-    dq, dk, dv, dck_g, dcv_g = pl.pallas_call(
-        _mk_space_bwd(scale),
-        grid=(B, heads, G),
-        in_specs=[blk, blk, blk, cls, cls, blk],
-        out_specs=(blk, blk, blk, cls_out, cls_out),
-        out_shape=shapes,
-        interpret=_use_interpret(),
-    )(q, k, v, cls_k, cls_v, do)
-    return dq, dk, dv, jnp.sum(dck_g, axis=1), jnp.sum(dcv_g, axis=1)
 
 
 def make_space_attention_bsd(heads: int, scale: float):
     @jax.custom_vjp
     def fn(q, k, v, cls_k, cls_v):
-        return space_attention_bsd_fwd(q, k, v, cls_k, cls_v, heads, scale)
+        B, G, L, D = q.shape
+        hd = D // heads
+        lb = _lane_block(D, hd)
+        hpb = lb // hd
+        blk, cls = _space_bsd_specs(L, lb)
+        return pl.pallas_call(
+            _mk_space_fwd_bsd(scale, hd, hpb),
+            grid=(B, D // lb, G),
+            in_specs=[blk, blk, blk, cls, cls],
+            out_specs=blk,
+            out_shape=jax.ShapeDtypeStruct((B, G, L, D), q.dtype),
+            interpret=_use_interpret(),
+        )(q, k, v, cls_k, cls_v)
 
     def fwd(q, k, v, cls_k, cls_v):
         return fn(q, k, v, cls_k, cls_v), (q, k, v, cls_k, cls_v)
 
     def bwd(res, do):
-        return space_attention_bsd_bwd(*res, do, heads, scale)
+        q, k, v, cls_k, cls_v = res
+        B, G, L, D = q.shape
+        hd = D // heads
+        lb = _lane_block(D, hd)
+        hpb = lb // hd
+        blk, cls = _space_bsd_specs(L, lb)
+        cls_out = pl.BlockSpec((1, 1, 1, lb), lambda b, h, g: (b, g, 0, h),
+                               memory_space=pltpu.VMEM)
+        shapes = (
+            jax.ShapeDtypeStruct((B, G, L, D), q.dtype),
+            jax.ShapeDtypeStruct((B, G, L, D), q.dtype),
+            jax.ShapeDtypeStruct((B, G, L, D), q.dtype),
+            jax.ShapeDtypeStruct((B, G, 1, D), q.dtype),
+            jax.ShapeDtypeStruct((B, G, 1, D), q.dtype),
+        )
+        dq, dk, dv, dck_g, dcv_g = pl.pallas_call(
+            _mk_space_bwd_bsd(scale, hd, hpb),
+            grid=(B, D // lb, G),
+            in_specs=[blk, blk, blk, cls, cls, blk],
+            out_specs=(blk, blk, blk, cls_out, cls_out),
+            out_shape=shapes,
+            interpret=_use_interpret(),
+        )(q, k, v, cls_k, cls_v, do)
+        return dq, dk, dv, jnp.sum(dck_g, axis=1), jnp.sum(dcv_g, axis=1)
 
     fn.defvjp(fwd, bwd)
     return fn
 
 
-def _mk_time_fwd_bsd(scale):
+def _mk_time_fwd_bsd(scale, hd, hpb):
     def kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref):
         f = q_ref.shape[1]
-        ck = ck_ref[0].astype(jnp.float32)
-        cv = cv_ref[0].astype(jnp.float32)
-        k = [k_ref[0, g].astype(jnp.float32) for g in range(f)]
-        v = [v_ref[0, g].astype(jnp.float32) for g in range(f)]
-        for fi in range(f):
-            qf = q_ref[0, fi].astype(jnp.float32) * scale
-            rows = [jnp.sum(qf * ck, axis=-1)]
-            rows += [jnp.sum(qf * k[g], axis=-1) for g in range(f)]
-            logits = jnp.stack(rows, axis=0)
-            m = jnp.max(logits, axis=0, keepdims=True)
-            e = jnp.exp(logits - m)
-            p = e / jnp.sum(e, axis=0, keepdims=True)
-            out = p[0][:, None] * cv
-            for g in range(f):
-                out = out + p[g + 1][:, None] * v[g]
-            o_ref[0, fi] = out.astype(o_ref.dtype)
+        for hp in range(hpb):
+            c = slice(hp * hd, (hp + 1) * hd)
+            ck = ck_ref[0, :, c].astype(jnp.float32)
+            cv = cv_ref[0, :, c].astype(jnp.float32)
+            k = [k_ref[0, g, :, c].astype(jnp.float32) for g in range(f)]
+            v = [v_ref[0, g, :, c].astype(jnp.float32) for g in range(f)]
+            for fi in range(f):
+                qf = q_ref[0, fi, :, c].astype(jnp.float32) * scale
+                rows = [jnp.sum(qf * ck, axis=-1)]
+                rows += [jnp.sum(qf * k[g], axis=-1) for g in range(f)]
+                logits = jnp.stack(rows, axis=0)
+                m = jnp.max(logits, axis=0, keepdims=True)
+                e = jnp.exp(logits - m)
+                p = e / jnp.sum(e, axis=0, keepdims=True)
+                out = p[0][:, None] * cv
+                for g in range(f):
+                    out = out + p[g + 1][:, None] * v[g]
+                o_ref[0, fi, :, c] = out.astype(o_ref.dtype)
 
     return kernel
 
 
-def _mk_time_bwd_bsd(scale):
+def _mk_time_bwd_bsd(scale, hd, hpb):
     def kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, do_ref,
                dq_ref, dk_ref, dv_ref, dck_ref, dcv_ref):
         f = q_ref.shape[1]
-        ck = ck_ref[0].astype(jnp.float32)
-        cv = cv_ref[0].astype(jnp.float32)
-        k = [k_ref[0, g].astype(jnp.float32) for g in range(f)]
-        v = [v_ref[0, g].astype(jnp.float32) for g in range(f)]
-        dk_acc = [jnp.zeros_like(k[0]) for _ in range(f)]
-        dv_acc = [jnp.zeros_like(v[0]) for _ in range(f)]
-        dck = jnp.zeros_like(ck)
-        dcv = jnp.zeros_like(cv)
-        for fi in range(f):
-            qf = q_ref[0, fi].astype(jnp.float32) * scale
-            do = do_ref[0, fi].astype(jnp.float32)
-            rows = [jnp.sum(qf * ck, axis=-1)]
-            rows += [jnp.sum(qf * k[g], axis=-1) for g in range(f)]
-            logits = jnp.stack(rows, axis=0)
-            m = jnp.max(logits, axis=0, keepdims=True)
-            e = jnp.exp(logits - m)
-            p = e / jnp.sum(e, axis=0, keepdims=True)
-            dp = [jnp.sum(do * cv, axis=-1)]
-            dp += [jnp.sum(do * v[g], axis=-1) for g in range(f)]
-            dp = jnp.stack(dp, axis=0)
-            inner = jnp.sum(dp * p, axis=0, keepdims=True)
-            dl = p * (dp - inner)
-            dq = dl[0][:, None] * ck
-            dck = dck + jnp.sum(dl[0][:, None] * qf, axis=0, keepdims=True)
-            dcv = dcv + jnp.sum(p[0][:, None] * do, axis=0, keepdims=True)
+        for hp in range(hpb):
+            c = slice(hp * hd, (hp + 1) * hd)
+            ck = ck_ref[0, :, c].astype(jnp.float32)
+            cv = cv_ref[0, :, c].astype(jnp.float32)
+            k = [k_ref[0, g, :, c].astype(jnp.float32) for g in range(f)]
+            v = [v_ref[0, g, :, c].astype(jnp.float32) for g in range(f)]
+            dk_acc = [jnp.zeros_like(k[0]) for _ in range(f)]
+            dv_acc = [jnp.zeros_like(v[0]) for _ in range(f)]
+            dck = jnp.zeros_like(ck)
+            dcv = jnp.zeros_like(cv)
+            for fi in range(f):
+                qf = q_ref[0, fi, :, c].astype(jnp.float32) * scale
+                do = do_ref[0, fi, :, c].astype(jnp.float32)
+                rows = [jnp.sum(qf * ck, axis=-1)]
+                rows += [jnp.sum(qf * k[g], axis=-1) for g in range(f)]
+                logits = jnp.stack(rows, axis=0)
+                m = jnp.max(logits, axis=0, keepdims=True)
+                e = jnp.exp(logits - m)
+                p = e / jnp.sum(e, axis=0, keepdims=True)
+                dp = [jnp.sum(do * cv, axis=-1)]
+                dp += [jnp.sum(do * v[g], axis=-1) for g in range(f)]
+                dp = jnp.stack(dp, axis=0)
+                inner = jnp.sum(dp * p, axis=0, keepdims=True)
+                dl = p * (dp - inner)
+                dq = dl[0][:, None] * ck
+                dck = dck + jnp.sum(dl[0][:, None] * qf, axis=0,
+                                    keepdims=True)
+                dcv = dcv + jnp.sum(p[0][:, None] * do, axis=0,
+                                    keepdims=True)
+                for g in range(f):
+                    dq = dq + dl[g + 1][:, None] * k[g]
+                    dk_acc[g] = dk_acc[g] + dl[g + 1][:, None] * qf
+                    dv_acc[g] = dv_acc[g] + p[g + 1][:, None] * do
+                dq_ref[0, fi, :, c] = (dq * scale).astype(dq_ref.dtype)
             for g in range(f):
-                dq = dq + dl[g + 1][:, None] * k[g]
-                dk_acc[g] = dk_acc[g] + dl[g + 1][:, None] * qf
-                dv_acc[g] = dv_acc[g] + p[g + 1][:, None] * do
-            dq_ref[0, fi] = (dq * scale).astype(dq_ref.dtype)
-        for g in range(f):
-            dk_ref[0, g] = dk_acc[g].astype(dk_ref.dtype)
-            dv_ref[0, g] = dv_acc[g].astype(dv_ref.dtype)
-        dck_ref[0] = dck.astype(dck_ref.dtype)
-        dcv_ref[0] = dcv.astype(dcv_ref.dtype)
+                dk_ref[0, g, :, c] = dk_acc[g].astype(dk_ref.dtype)
+                dv_ref[0, g, :, c] = dv_acc[g].astype(dv_ref.dtype)
+            dck_ref[0, :, c] = dck.astype(dck_ref.dtype)
+            dcv_ref[0, :, c] = dcv.astype(dcv_ref.dtype)
 
     return kernel
 
 
-def _time_bsd_specs(B, H, f, n, hd):
-    blk = pl.BlockSpec((1, f, n, hd), lambda b, h: (b, 0, 0, h),
+def _time_bsd_specs(f, n, lb):
+    blk = pl.BlockSpec((1, f, n, lb), lambda b, h: (b, 0, 0, h),
                        memory_space=pltpu.VMEM)
-    cls = pl.BlockSpec((1, 1, hd), lambda b, h: (b, 0, h),
+    cls = pl.BlockSpec((1, 1, lb), lambda b, h: (b, 0, h),
                        memory_space=pltpu.VMEM)
     return blk, cls
 
@@ -543,10 +562,12 @@ def make_time_attention_bsd(heads: int, scale: float):
     def fn(q, k, v, cls_k, cls_v):
         B, f, n, D = q.shape
         hd = D // heads
-        blk, cls = _time_bsd_specs(B, heads, f, n, hd)
+        lb = _lane_block(D, hd)
+        hpb = lb // hd
+        blk, cls = _time_bsd_specs(f, n, lb)
         return pl.pallas_call(
-            _mk_time_fwd_bsd(scale),
-            grid=(B, heads),
+            _mk_time_fwd_bsd(scale, hd, hpb),
+            grid=(B, D // lb),
             in_specs=[blk, blk, blk, cls, cls],
             out_specs=blk,
             out_shape=jax.ShapeDtypeStruct((B, f, n, D), q.dtype),
@@ -560,7 +581,9 @@ def make_time_attention_bsd(heads: int, scale: float):
         q, k, v, cls_k, cls_v = res
         B, f, n, D = q.shape
         hd = D // heads
-        blk, cls = _time_bsd_specs(B, heads, f, n, hd)
+        lb = _lane_block(D, hd)
+        hpb = lb // hd
+        blk, cls = _time_bsd_specs(f, n, lb)
         shapes = (
             jax.ShapeDtypeStruct((B, f, n, D), q.dtype),
             jax.ShapeDtypeStruct((B, f, n, D), q.dtype),
@@ -569,8 +592,8 @@ def make_time_attention_bsd(heads: int, scale: float):
             jax.ShapeDtypeStruct((B, 1, D), q.dtype),
         )
         return pl.pallas_call(
-            _mk_time_bwd_bsd(scale),
-            grid=(B, heads),
+            _mk_time_bwd_bsd(scale, hd, hpb),
+            grid=(B, D // lb),
             in_specs=[blk, blk, blk, cls, cls, blk],
             out_specs=(blk, blk, blk, cls, cls),
             out_shape=shapes,
