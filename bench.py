@@ -65,15 +65,20 @@ def main():
         state, loss = step(state, batch, jax.random.fold_in(key, i))
     loss.block_until_ready()
 
-    iters = 20
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, loss = step(state, batch, jax.random.fold_in(key, 100 + i))
-    loss.block_until_ready()
-    dt = time.perf_counter() - t0
-
+    # the dev chip is shared/throttled with ~2x run-to-run variance;
+    # report the median of three trials (float(loss) forces a full sync
+    # through the sequential state dependency)
+    iters = 12
+    rates = []
+    for trial in range(3):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, loss = step(state, batch,
+                               jax.random.fold_in(key, 100 + trial * iters + i))
+        float(loss)
+        rates.append(B * iters / (time.perf_counter() - t0))
     n_chips = jax.device_count()
-    clips_per_sec_per_chip = B * iters / dt / n_chips
+    clips_per_sec_per_chip = sorted(rates)[1] / n_chips
     print(json.dumps({
         "metric": "egoclip_train_clips_per_sec_per_chip",
         "value": round(clips_per_sec_per_chip, 3),
