@@ -208,16 +208,20 @@ bool convert_frame(Decoder* d, int pre, uint8_t* out) {
   }
   if (!d->sws) return false;
 
-  std::vector<uint8_t> tmp((size_t)sw * sh * 3);
+  // sws_scale's SIMD paths write whole aligned vectors per line; give the
+  // destination a 64-byte-aligned stride plus tail padding or the last
+  // line overruns the buffer (heap corruption).
+  const size_t stride = ((size_t)sw * 3 + 63) & ~(size_t)63;
+  std::vector<uint8_t> tmp(stride * sh + 64);
   uint8_t* dst_data[4] = {tmp.data(), nullptr, nullptr, nullptr};
-  int dst_linesize[4] = {sw * 3, 0, 0, 0};
+  int dst_linesize[4] = {(int)stride, 0, 0, 0};
   sws_scale(d->sws, d->frame->data, d->frame->linesize, 0, h, dst_data,
             dst_linesize);
 
   const int x0 = (sw - pre) / 2, y0 = (sh - pre) / 2;
   for (int row = 0; row < pre; ++row) {
     std::memcpy(out + (size_t)row * pre * 3,
-                tmp.data() + ((size_t)(y0 + row) * sw + x0) * 3,
+                tmp.data() + (size_t)(y0 + row) * stride + (size_t)x0 * 3,
                 (size_t)pre * 3);
   }
   return true;

@@ -115,3 +115,35 @@ def test_read_frames_egoclip_two_chunks(tmp_path):
     assert frames.shape == (4, 32, 32, 3)
     # global indices in [17970, 18030]; local = idx % 18000
     assert all(17970 <= i <= 18030 for i in idxs)
+
+
+def test_native_wide_video_no_corruption(tmp_path):
+    """Regression: sws_scale SIMD writes overran unaligned line strides on
+    wide (landscape) videos -> heap corruption. Decode many wide frames."""
+    p = make_video(tmp_path / "wide.mp4", n_frames=40, size=(456, 256))
+    from egovlp_tpu.data import native as nat
+
+    v = nat.NativeVideo(p)
+    for _ in range(5):
+        frames, ok = v.read_frames([0, 10, 20, 30, 39], pre_size=256)
+        assert ok == 5
+        assert frames.shape == (5, 256, 256, 3)
+    v.close()
+
+
+def test_native_true_frame_index_vs_cv2_quirk(tmp_path):
+    """The native decoder returns the exact requested frame; the cv2
+    fallback reproduces the reference's seek-to-(idx-1) quirk
+    (base_dataset.py:229), so the two differ by one frame on purpose."""
+    p = make_video(tmp_path / "idx.mp4", n_frames=60)
+    from egovlp_tpu.data import native as nat
+
+    v = nat.NativeVideo(p)
+    f, _ = v.read_frames([20], pre_size=32)
+    # frame 20 has gray level 80 (idx*4)
+    np.testing.assert_allclose(_frame_level(f), [80], atol=6)
+    v.close()
+    c = _Cv2Video(p)
+    f2, _ = c.read_frames([20], pre_size=32)
+    np.testing.assert_allclose(_frame_level(f2), [76], atol=6)  # idx-1
+    c.close()
