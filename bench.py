@@ -25,6 +25,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    try:  # persistent compile cache cuts repeat-run latency
+        jax.config.update("jax_compilation_cache_dir", "/tmp/egovlp_jax_cache")
+    except Exception:
+        pass
+
     from egovlp_tpu.models import DualEncoder, DualEncoderConfig
     from egovlp_tpu.train.state import create_train_state, make_optimizer
     from egovlp_tpu.train.steps import make_egoclip_train_step

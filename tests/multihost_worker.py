@@ -1,0 +1,76 @@
+"""Worker for the 2-process distributed smoke test (see test_multihost_proc).
+
+Each process owns 2 virtual CPU devices (4 global), initializes
+jax.distributed, builds its shard of a synthetic EgoClip batch, and runs
+ONE sharded EgoNCE train step over the global mesh — exercising
+make_array_from_process_local_data and the cross-process collectives.
+Prints LOSS=<value> on success.
+"""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+coordinator, rank = sys.argv[1], int(sys.argv[2])
+jax.distributed.initialize(coordinator_address=coordinator, num_processes=2,
+                           process_id=rank)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from egovlp_tpu.core.mesh import MeshSpec, create_mesh, replicated, shard_batch
+from egovlp_tpu.models import (
+    DualEncoder,
+    DualEncoderConfig,
+    TextTowerConfig,
+    VideoTowerConfig,
+)
+from egovlp_tpu.train.state import create_train_state, make_optimizer
+from egovlp_tpu.train.steps import make_egoclip_train_step
+
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 4
+
+res = 32
+cfg = DualEncoderConfig(
+    video=VideoTowerConfig(img_size=res, patch_size=16, embed_dim=24,
+                           depth=1, num_heads=2, num_frames=2),
+    text=TextTowerConfig(vocab_size=32, dim=24, n_layers=1, n_heads=2,
+                         hidden_dim=48, max_position_embeddings=8),
+    projection_dim=8,
+)
+model = DualEncoder(cfg)
+video = jnp.zeros((1, 2, res, res, 3), jnp.float32)
+params = model.init(jax.random.PRNGKey(0), video,
+                    jnp.zeros((1, 4), jnp.int32),
+                    jnp.ones((1, 4), jnp.int32))["params"]
+
+mesh = create_mesh(MeshSpec())
+tx = make_optimizer(1e-4, (60,), 10)
+state = create_train_state(model, params, tx)
+state = jax.device_put(state, replicated(mesh))
+
+# per-process LOCAL slice of the global batch (global = 8, local = 4)
+rng = np.random.default_rng(rank)
+local = {
+    "frames": rng.integers(0, 255, (4, 2, res, res * 3)).astype(np.uint8),
+    "text_ids": rng.integers(0, 32, (4, 4)).astype(np.int32),
+    "text_mask": np.ones((4, 4), np.int32),
+    "noun_vec": np.eye(4, 582, dtype=np.float32),
+    "verb_vec": np.eye(4, 118, dtype=np.float32),
+}
+batch = shard_batch(local, mesh)
+assert batch["frames"].shape[0] == 8  # global batch assembled
+
+step = make_egoclip_train_step(loss_type="EgoNCE", input_res=res)
+with mesh:
+    state, loss = step(state, batch, jax.random.PRNGKey(0))
+print(f"LOSS={float(loss):.6f}", flush=True)

