@@ -13,8 +13,6 @@ from __future__ import annotations
 import argparse
 import json
 
-import jax
-
 from egovlp_tpu.evals.charades import evaluate_charades, load_charades_classes
 from egovlp_tpu.evals.egomcq import evaluate_egomcq
 from egovlp_tpu.evals.epic_mir import embed_dataset, evaluate_epic_mir

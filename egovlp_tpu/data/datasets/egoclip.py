@@ -21,7 +21,7 @@ from typing import Any, Dict
 
 import numpy as np
 
-from egovlp_tpu.data.datasets.base import DatasetConfig, TextVideoDataset
+from egovlp_tpu.data.datasets.base import TextVideoDataset
 from egovlp_tpu.data.readers import CHUNK_SEC, read_frames_egoclip
 
 NOUN_DIM = 582

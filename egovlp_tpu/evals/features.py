@@ -12,9 +12,7 @@ downstream VSLNet/VSGN consumers, when torch is importable.
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
-from typing import Optional
 
 import numpy as np
 

@@ -14,7 +14,6 @@ Run directories follow the reference layout: ``{save_dir}/{models,log,tf}/
 from __future__ import annotations
 
 import copy
-import dataclasses
 import datetime
 import json
 import os

@@ -14,7 +14,7 @@ import html
 import os
 import random
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 

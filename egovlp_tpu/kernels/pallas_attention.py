@@ -16,8 +16,6 @@ statistics are computed in float32 regardless of input dtype.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

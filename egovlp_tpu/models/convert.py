@@ -19,7 +19,6 @@ All converters take/return plain numpy; torch is only needed by
 
 from __future__ import annotations
 
-import re
 from typing import Dict, Mapping
 
 import numpy as np

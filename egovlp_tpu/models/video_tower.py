@@ -26,8 +26,6 @@ the reference uses NCHW).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -10,8 +10,6 @@ trivially-margin diagonal terms.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

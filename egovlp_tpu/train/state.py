@@ -9,7 +9,7 @@ epoch-aware schedule resolved per optimizer step.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
