@@ -211,10 +211,16 @@ def dual_encoder_params(sd: Mapping[str, Array], cfg: DualEncoderConfig,
     )
     if txt_sd:
         out["text_model"] = text_tower_params(txt_sd, cfg.text.n_layers)
-    if "txt_proj.1.weight" in sd:
-        out["txt_proj"] = _linear(sd, "txt_proj.1")
-    if "vid_proj.0.weight" in sd:
-        out["vid_proj"] = _linear(sd, "vid_proj.0")
+    # Projection heads load only when the widths match: OSCC/PNR fine-tunes
+    # point load_checkpoint at the 256-dim retrieval checkpoint while the
+    # task config sets projection_dim 2/16 (configs/ft/{oscc,pnr}.json) —
+    # the fresh task head keeps its init in that case.
+    for name, key in (("txt_proj", "txt_proj.1"), ("vid_proj", "vid_proj.0")):
+        if f"{key}.weight" in sd and name in template:
+            cand = _linear(sd, key)
+            if cand["kernel"].shape == np.asarray(
+                template[name]["kernel"]).shape:
+                out[name] = cand
     return out
 
 

@@ -234,3 +234,33 @@ def test_export_roundtrip(rng):
             np.asarray(leaf), np.asarray(flat_b[path]), rtol=1e-6,
             err_msg=str(path),
         )
+
+
+def test_task_head_dim_mismatch_keeps_fresh_init(rng):
+    """Loading the 256-dim retrieval checkpoint into an OSCC-style 2-dim
+    head keeps the fresh head init (the towers still load)."""
+    from egovlp_tpu.models import DualEncoder, DualEncoderConfig
+    from egovlp_tpu.models.convert import dual_encoder_params
+
+    tcfg = TextTowerConfig(vocab_size=100, dim=32, n_layers=1, n_heads=4,
+                           hidden_dim=64, max_position_embeddings=48)
+    vcfg = VideoTowerConfig(img_size=32, patch_size=16, embed_dim=24, depth=1,
+                            num_heads=2, num_frames=4)
+    cfg = DualEncoderConfig(video=vcfg, text=tcfg, projection_dim=2)
+    model = DualEncoder(cfg)
+    video = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
+    template = model.init(jax.random.PRNGKey(0), video,
+                          jnp.zeros((1, 4), jnp.int32),
+                          jnp.ones((1, 4), jnp.int32))["params"]
+
+    sd = {  # 8-dim projections in the "checkpoint", 2-dim in the model
+        "txt_proj.1.weight": rng.normal(size=(8, 32)).astype(np.float32),
+        "txt_proj.1.bias": rng.normal(size=8).astype(np.float32),
+        "vid_proj.0.weight": rng.normal(size=(8, 24)).astype(np.float32),
+        "vid_proj.0.bias": rng.normal(size=8).astype(np.float32),
+    }
+    out = dual_encoder_params(sd, cfg, template)
+    np.testing.assert_array_equal(
+        np.asarray(out["txt_proj"]["kernel"]),
+        np.asarray(template["txt_proj"]["kernel"]),
+    )
