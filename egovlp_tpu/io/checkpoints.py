@@ -49,6 +49,13 @@ class CheckpointManager:
         """Restore a checkpoint (default: latest epoch in the directory).
         ``template`` is an abstract pytree with the target structure."""
         p = Path(path) if path else self.latest()
+        if p is not None and p.resolve() == self.directory.resolve():
+            # caller passed the manager directory itself -> use the latest
+            # checkpoint inside it (or model_best if that's all there is)
+            p = self.latest() or (
+                self.directory / "model_best"
+                if (self.directory / "model_best").exists() else None
+            )
         if p is None:
             raise FileNotFoundError(f"no checkpoint under {self.directory}")
         if template is not None:

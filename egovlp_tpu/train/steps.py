@@ -87,7 +87,8 @@ def make_egoclip_train_step(loss_type: str = "EgoNCE", input_res: int = 224,
 
         def loss_fn(params):
             t, v = state.apply_fn(
-                {"params": params}, video, ids, mask, deterministic=True
+                {"params": params}, video, ids, mask, deterministic=False,
+                rngs={"dropout": d_rng},
             )
             sim = sim_matrix(t, v)
             if loss_type == "EgoNCE":
@@ -112,12 +113,14 @@ def make_epic_train_step(loss_type: str = "MaxMarginRankingLoss",
                          fix_norm: bool = True):
     @jax.jit
     def step(state, batch, rng):
-        video = _transform_train(rng, batch["frames"], input_res)
+        t_rng, d_rng = jax.random.split(rng)
+        video = _transform_train(t_rng, batch["frames"], input_res)
 
         def loss_fn(params):
             t, v = state.apply_fn(
                 {"params": params}, video, batch["text_ids"],
-                batch["text_mask"], deterministic=True
+                batch["text_mask"], deterministic=False,
+                rngs={"dropout": d_rng},
             )
             sim = sim_matrix(t, v)
             if loss_type == "AdaptiveMaxMarginRankingLoss":
@@ -138,12 +141,14 @@ def make_epic_train_step(loss_type: str = "MaxMarginRankingLoss",
 def make_charades_train_step(input_res: int = 224, temperature: float = 0.05):
     @jax.jit
     def step(state, batch, rng):
-        video = _transform_train(rng, batch["frames"], input_res)
+        t_rng, d_rng = jax.random.split(rng)
+        video = _transform_train(t_rng, batch["frames"], input_res)
 
         def loss_fn(params):
             t, v = state.apply_fn(
                 {"params": params}, video, batch["text_ids"],
-                batch["text_mask"], deterministic=True
+                batch["text_mask"], deterministic=False,
+                rngs={"dropout": d_rng},
             )
             return info_nce(sim_matrix(t, v), temperature)
 
@@ -160,12 +165,13 @@ def make_charades_train_step(input_res: int = 224, temperature: float = 0.05):
 def make_oscc_train_step(input_res: int = 224):
     @jax.jit
     def step(state, batch, rng):
-        video = _transform_train(rng, batch["frames"], input_res)
+        t_rng, d_rng = jax.random.split(rng)
+        video = _transform_train(t_rng, batch["frames"], input_res)
 
         def loss_fn(params):
             logits = state.apply_fn(
                 {"params": params}, video, method="encode_video",
-                deterministic=True,
+                deterministic=False, rngs={"dropout": d_rng},
             )
             return cross_entropy(logits, batch["state"])
 
@@ -178,14 +184,15 @@ def make_oscc_train_step(input_res: int = 224):
 def make_pnr_train_step(input_res: int = 224):
     @jax.jit
     def step(state, batch, rng):
-        video = _transform_train(rng, batch["frames"], input_res)
+        t_rng, d_rng = jax.random.split(rng)
+        video = _transform_train(t_rng, batch["frames"], input_res)
         targets = jnp.argmax(batch["labels"], axis=1)
         state_mask = batch["state"].astype(jnp.float32)
 
         def loss_fn(params):
             logits = state.apply_fn(
                 {"params": params}, video, method="encode_video",
-                deterministic=True,
+                deterministic=False, rngs={"dropout": d_rng},
             )
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
             nll = -jnp.take_along_axis(logp, targets[:, None], axis=1)[:, 0]

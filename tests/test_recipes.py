@@ -114,3 +114,39 @@ def test_run_task_resume(tiny_config, tmp_path):
     cfg2.override("trainer.epochs", 3)
     state2 = run_task(cfg2, resume=latest)
     assert int(state2.step) > int(state1.step) * 0  # trained further
+
+
+def test_convert_cli_roundtrip(tiny_config, tmp_path):
+    """torch -> orbax -> torch roundtrip through the convert CLI."""
+    import numpy as np
+    import torch
+
+    from egovlp_tpu.cli.convert import main as convert_main
+    from egovlp_tpu.models.convert import load_torch_weights
+    from egovlp_tpu.train import build
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(dict(tiny_config)))
+
+    # build a torch checkpoint from a fresh model export
+    from egovlp_tpu.io.config import load_config
+    from egovlp_tpu.models.convert import save_torch_checkpoint
+
+    config = load_config(str(cfg_path))
+    model, mcfg = build.build_model(config["arch"])
+    params = build.init_params(model, mcfg)
+    pth = tmp_path / "seed.pth"
+    save_torch_checkpoint(params, mcfg, str(pth), epoch=5)
+
+    orbax_dir = tmp_path / "orbax"
+    convert_main(["import_torch", "-k", str(pth), "-c", str(cfg_path),
+                  "-o", str(orbax_dir)])
+    out_pth = tmp_path / "back.pth"
+    convert_main(["export_torch", "-k", str(orbax_dir), "-c", str(cfg_path),
+                  "-o", str(out_pth)])
+
+    a = load_torch_weights(str(pth))
+    b = load_torch_weights(str(out_pth))
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-6, err_msg=k)
