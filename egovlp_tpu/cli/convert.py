@@ -49,9 +49,9 @@ def main(argv=None):
         cm.save_epoch(0, {"params": params, "epoch": 0, "monitor_best": 0.0})
         logger.info("wrote orbax checkpoint to %s", args.out)
     else:
-        restored = CheckpointManager(args.checkpoint).restore(
-            args.checkpoint, template={"params": template})
-        save_torch_checkpoint(restored["params"], mcfg, args.out)
+        restored = CheckpointManager(args.checkpoint).restore(args.checkpoint)
+        save_torch_checkpoint(restored["params"], mcfg, args.out,
+                              epoch=int(restored.get("epoch", 0)))
         logger.info("wrote torch checkpoint to %s", args.out)
 
 

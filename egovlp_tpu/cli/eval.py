@@ -33,8 +33,7 @@ def load_params(model, mcfg, arch, checkpoint, logger):
         return build.load_pretrained(params, mcfg, arch, logger)
     params = build.load_pretrained(params, mcfg, arch, logger)
     if checkpoint:
-        restored = CheckpointManager(checkpoint).restore(
-            checkpoint, template={"params": params})
+        restored = CheckpointManager(checkpoint).restore(checkpoint)
         params = restored["params"]
         logger.info("restored orbax checkpoint %s", checkpoint)
     return params
