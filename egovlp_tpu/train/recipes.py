@@ -54,22 +54,38 @@ def _dl_args(config) -> Dict[str, Any]:
     return dict(dl.get("args", dl))
 
 
+def _all_dl_args(config):
+    """All data_loader entries (the reference zips multiple loaders and
+    steps per-loader within each batch index, trainer_egoclip.py:104-107)."""
+    dl = config["data_loader"]
+    if isinstance(dl, list):
+        return [dict(d.get("args", d)) for d in dl]
+    return [dict(dl.get("args", dl))]
+
+
 def _make_train_epoch_fn(loader, step_fn, mesh, max_samples, log_step,
                          logger, seed=0):
     from egovlp_tpu.data.pipeline import device_prefetch
 
+    loaders = loader.loaders if hasattr(loader, "loaders") else [loader]
+
     def train_epoch(state, epoch, mlog):
         total, n = 0.0, 0
         t0 = time.time()
-        batches = device_prefetch(loader.epoch(epoch), mesh, depth=2)
-        for i, batch in enumerate(batches):
+        streams = [device_prefetch(l.epoch(epoch), mesh, depth=2)
+                   for l in loaders]
+        # one optimizer step per loader per batch index, like the
+        # reference's nested loop over its data_loader list
+        for i, batch_tuple in enumerate(zip(*streams)):
             if max_samples and (i + 1) * loader.batch_size > max_samples:
                 break
-            rng = jax.random.fold_in(
-                jax.random.fold_in(jax.random.PRNGKey(seed), epoch), i)
-            state, loss = step_fn(state, batch, rng)
-            total += float(loss)
-            n += 1
+            for dl_idx, batch in enumerate(batch_tuple):
+                rng = jax.random.fold_in(jax.random.fold_in(
+                    jax.random.fold_in(jax.random.PRNGKey(seed), epoch), i),
+                    dl_idx)
+                state, loss = step_fn(state, batch, rng)
+                total += float(loss)
+                n += 1
             if i % log_step == 0:
                 mlog.set_step((epoch - 1) * len(loader) + i, "train")
                 mlog.scalar("loss", float(loss))
@@ -111,11 +127,22 @@ def run_task(config, resume: Optional[str] = None):
     # slice of the global batch.
     local_chips = sum(d.process_index == jax.process_index()
                       for d in mesh.devices.flat)
+    all_args = _all_dl_args(config)
+    train_loaders = []
+    for a in all_args:
+        a = dict(a)
+        a["batch_size"] = int(a.get("batch_size", 16)) * max(local_chips, 1)
+        train_loaders.append(build.build_loader(
+            a, "train", tokenizer, max_samples_per_epoch=max_samples))
+    if len(train_loaders) == 1:
+        train_loader = train_loaders[0]
+    else:
+        from egovlp_tpu.data.pipeline import MultiLoader
+
+        train_loader = MultiLoader(train_loaders)
     per_chip_bs = int(dl_args.get("batch_size", 16))
     dl_args = dict(dl_args)
     dl_args["batch_size"] = per_chip_bs * max(local_chips, 1)
-    train_loader = build.build_loader(dl_args, "train", tokenizer,
-                                      max_samples_per_epoch=max_samples)
     steps_per_epoch = max(len(train_loader), 1)
 
     opt_args = config.get("optimizer", {}).get("args", {})

@@ -150,3 +150,16 @@ def test_convert_cli_roundtrip(tiny_config, tmp_path):
     assert set(a) == set(b)
     for k in a:
         np.testing.assert_allclose(a[k], b[k], rtol=1e-6, err_msg=k)
+
+
+def test_run_task_multi_loader(tiny_config):
+    """data_loader as a LIST: one optimizer step per loader per batch index
+    (the reference's nested data_loader loop)."""
+    cfg = tiny_config.clone()
+    dl = dict(cfg["data_loader"])
+    cfg["data_loader"] = [dl, dict(dl)]
+    cfg.override("trainer.epochs", 1)
+    cfg.override("trainer.monitor", "off")
+    state = run_task(cfg)
+    # 6 items / (bs 1 * 2 chips) = 3 batch indices x 2 loaders = 6 steps
+    assert int(state.step) == 6
