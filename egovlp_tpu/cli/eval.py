@@ -58,8 +58,7 @@ def main(argv=None):
     dl_args = _dl_args(config)
     tokenizer = build.build_tokenizer(
         config, int(config.get_path("arch.args.text_params.max_length", 30)))
-    input_res = int(config.get_path(
-        "data_loader.args.video_params.input_res", 224))
+    input_res = int(dl_args.get("video_params", {}).get("input_res", 224))
     split = args.split or ("val" if task in ("egomcq", "egoclip", "oscc",
                                              "pnr") else "test")
 

@@ -119,8 +119,7 @@ def run_task(config, resume: Optional[str] = None):
 
     trainer_cfg = config.get("trainer", {})
     max_samples = trainer_cfg.get("max_samples_per_epoch")
-    input_res = int(config.get_path(
-        "data_loader.args.video_params.input_res", 224))
+    input_res = int(dl_args.get("video_params", {}).get("input_res", 224))
 
     # config batch_size is PER CHIP (the reference's per-GPU convention,
     # configs/pt/egoclip.json bs 16/GPU); the host loader feeds the local
