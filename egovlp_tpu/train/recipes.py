@@ -164,8 +164,12 @@ def run_task(config, resume: Optional[str] = None):
             noun=bool(loss_args.get("noun", True)),
             verb=bool(loss_args.get("verb", True)),
         )
-        val_loader = build.build_loader(dl_args, "val", tokenizer,
-                                        batch_size=1)
+        # the reference forces MCQ val batch 1 (run/train_egoclip.py:101-125);
+        # our eval folds the 5 options into the batch axis so larger eval
+        # batches are safe — configurable via trainer.val_batch_size.
+        val_loader = build.build_loader(
+            dl_args, "val", tokenizer,
+            batch_size=int(trainer_cfg.get("val_batch_size", 1)))
         val_loader.drop_last = False
 
         def valid(state, epoch, mlog):
