@@ -163,3 +163,19 @@ def test_run_task_multi_loader(tiny_config):
     state = run_task(cfg)
     # 6 items / (bs 1 * 2 chips) = 3 batch indices x 2 loaders = 6 steps
     assert int(state.step) == 6
+
+
+def test_cli_eval_smoke(tiny_config, tmp_path):
+    """cli.eval runs EgoMCQ end-to-end from a config with fresh init."""
+    import io
+    from contextlib import redirect_stdout
+
+    from egovlp_tpu.cli.eval import main as eval_main
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(dict(tiny_config)))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        eval_main(["--config", str(cfg_path)])
+    out = json.loads(buf.getvalue())
+    assert set(out) == {"Intra-video", "Inter-video"}
