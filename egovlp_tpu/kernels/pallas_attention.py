@@ -476,73 +476,89 @@ def make_space_attention_bsd(heads: int, scale: float):
 
 
 def _mk_time_fwd_bsd(scale, hd, hpb):
+    # NOTE: k/v are re-read from the VMEM refs per use instead of being
+    # hoisted into f32 register lists — hoisting the full [f, n, hd] f32
+    # copies blows the scoped-VMEM stack at f=16 (measured 18.4M > 16M).
     def kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref):
         f = q_ref.shape[1]
         for hp in range(hpb):
             c = slice(hp * hd, (hp + 1) * hd)
             ck = ck_ref[0, :, c].astype(jnp.float32)
             cv = cv_ref[0, :, c].astype(jnp.float32)
-            k = [k_ref[0, g, :, c].astype(jnp.float32) for g in range(f)]
-            v = [v_ref[0, g, :, c].astype(jnp.float32) for g in range(f)]
             for fi in range(f):
                 qf = q_ref[0, fi, :, c].astype(jnp.float32) * scale
                 rows = [jnp.sum(qf * ck, axis=-1)]
-                rows += [jnp.sum(qf * k[g], axis=-1) for g in range(f)]
+                rows += [
+                    jnp.sum(qf * k_ref[0, g, :, c].astype(jnp.float32),
+                            axis=-1)
+                    for g in range(f)
+                ]
                 logits = jnp.stack(rows, axis=0)
                 m = jnp.max(logits, axis=0, keepdims=True)
                 e = jnp.exp(logits - m)
                 p = e / jnp.sum(e, axis=0, keepdims=True)
                 out = p[0][:, None] * cv
                 for g in range(f):
-                    out = out + p[g + 1][:, None] * v[g]
+                    out = out + p[g + 1][:, None] * \
+                        v_ref[0, g, :, c].astype(jnp.float32)
                 o_ref[0, fi, :, c] = out.astype(o_ref.dtype)
 
     return kernel
 
 
 def _mk_time_bwd_bsd(scale, hd, hpb):
+    # Gradients for k/v/cls accumulate directly into the output refs
+    # (zeroed up front) so no [f, n, hd] f32 accumulator lives in registers.
     def kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, do_ref,
                dq_ref, dk_ref, dv_ref, dck_ref, dcv_ref):
         f = q_ref.shape[1]
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+        dck_ref[...] = jnp.zeros_like(dck_ref)
+        dcv_ref[...] = jnp.zeros_like(dcv_ref)
         for hp in range(hpb):
             c = slice(hp * hd, (hp + 1) * hd)
             ck = ck_ref[0, :, c].astype(jnp.float32)
             cv = cv_ref[0, :, c].astype(jnp.float32)
-            k = [k_ref[0, g, :, c].astype(jnp.float32) for g in range(f)]
-            v = [v_ref[0, g, :, c].astype(jnp.float32) for g in range(f)]
-            dk_acc = [jnp.zeros_like(k[0]) for _ in range(f)]
-            dv_acc = [jnp.zeros_like(v[0]) for _ in range(f)]
-            dck = jnp.zeros_like(ck)
-            dcv = jnp.zeros_like(cv)
             for fi in range(f):
                 qf = q_ref[0, fi, :, c].astype(jnp.float32) * scale
                 do = do_ref[0, fi, :, c].astype(jnp.float32)
                 rows = [jnp.sum(qf * ck, axis=-1)]
-                rows += [jnp.sum(qf * k[g], axis=-1) for g in range(f)]
+                rows += [
+                    jnp.sum(qf * k_ref[0, g, :, c].astype(jnp.float32),
+                            axis=-1)
+                    for g in range(f)
+                ]
                 logits = jnp.stack(rows, axis=0)
                 m = jnp.max(logits, axis=0, keepdims=True)
                 e = jnp.exp(logits - m)
                 p = e / jnp.sum(e, axis=0, keepdims=True)
                 dp = [jnp.sum(do * cv, axis=-1)]
-                dp += [jnp.sum(do * v[g], axis=-1) for g in range(f)]
+                dp += [
+                    jnp.sum(do * v_ref[0, g, :, c].astype(jnp.float32),
+                            axis=-1)
+                    for g in range(f)
+                ]
                 dp = jnp.stack(dp, axis=0)
                 inner = jnp.sum(dp * p, axis=0, keepdims=True)
                 dl = p * (dp - inner)
                 dq = dl[0][:, None] * ck
-                dck = dck + jnp.sum(dl[0][:, None] * qf, axis=0,
-                                    keepdims=True)
-                dcv = dcv + jnp.sum(p[0][:, None] * do, axis=0,
-                                    keepdims=True)
+                dck_ref[0, :, c] += jnp.sum(
+                    dl[0][:, None] * qf, axis=0, keepdims=True
+                ).astype(dck_ref.dtype)
+                dcv_ref[0, :, c] += jnp.sum(
+                    p[0][:, None] * do, axis=0, keepdims=True
+                ).astype(dcv_ref.dtype)
                 for g in range(f):
-                    dq = dq + dl[g + 1][:, None] * k[g]
-                    dk_acc[g] = dk_acc[g] + dl[g + 1][:, None] * qf
-                    dv_acc[g] = dv_acc[g] + p[g + 1][:, None] * do
+                    dq = dq + dl[g + 1][:, None] * \
+                        k_ref[0, g, :, c].astype(jnp.float32)
+                    dk_ref[0, g, :, c] += (
+                        dl[g + 1][:, None] * qf
+                    ).astype(dk_ref.dtype)
+                    dv_ref[0, g, :, c] += (
+                        p[g + 1][:, None] * do
+                    ).astype(dv_ref.dtype)
                 dq_ref[0, fi, :, c] = (dq * scale).astype(dq_ref.dtype)
-            for g in range(f):
-                dk_ref[0, g, :, c] = dk_acc[g].astype(dk_ref.dtype)
-                dv_ref[0, g, :, c] = dv_acc[g].astype(dv_ref.dtype)
-            dck_ref[0, :, c] = dck.astype(dck_ref.dtype)
-            dcv_ref[0, :, c] = dcv.astype(dcv_ref.dtype)
 
     return kernel
 
