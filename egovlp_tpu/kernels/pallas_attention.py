@@ -543,10 +543,10 @@ def _mk_time_bwd_bsd(scale, hd, hpb):
                 inner = jnp.sum(dp * p, axis=0, keepdims=True)
                 dl = p * (dp - inner)
                 dq = dl[0][:, None] * ck
-                dck_ref[0, :, c] += jnp.sum(
+                dck_ref[0, 0, :, c] += jnp.sum(
                     dl[0][:, None] * qf, axis=0, keepdims=True
                 ).astype(dck_ref.dtype)
-                dcv_ref[0, :, c] += jnp.sum(
+                dcv_ref[0, 0, :, c] += jnp.sum(
                     p[0][:, None] * do, axis=0, keepdims=True
                 ).astype(dcv_ref.dtype)
                 for g in range(f):
@@ -563,12 +563,24 @@ def _mk_time_bwd_bsd(scale, hd, hpb):
     return kernel
 
 
-def _time_bsd_specs(f, n, lb):
-    blk = pl.BlockSpec((1, f, n, lb), lambda b, h: (b, 0, 0, h),
+def _time_bsd_specs(f, nb, lb):
+    """Blocks are one (batch, lane-slice, n-block) tile: time attention is
+    independent per patch column, so the n axis blocks freely."""
+    blk = pl.BlockSpec((1, f, nb, lb), lambda b, h, j: (b, 0, j, h),
                        memory_space=pltpu.VMEM)
-    cls = pl.BlockSpec((1, 1, lb), lambda b, h: (b, 0, h),
+    cls = pl.BlockSpec((1, 1, lb), lambda b, h, j: (b, 0, h),
                        memory_space=pltpu.VMEM)
     return blk, cls
+
+
+def time_n_block(f: int, n: int, lb: int, itemsize: int = 2) -> int:
+    """Largest n-block (multiple of 8, or full n) whose 11 ref blocks fit
+    comfortably under the 16 MB scoped-VMEM limit with double buffering."""
+    budget = 8 * 2 ** 20
+    if 11 * f * n * lb * itemsize * 2 <= budget:
+        return n
+    nb = budget // (11 * f * lb * itemsize * 2)
+    return max((nb // 8) * 8, 8)
 
 
 def make_time_attention_bsd(heads: int, scale: float):
@@ -578,10 +590,11 @@ def make_time_attention_bsd(heads: int, scale: float):
         hd = D // heads
         lb = _lane_block(D, hd)
         hpb = lb // hd
-        blk, cls = _time_bsd_specs(f, n, lb)
+        nb = time_n_block(f, n, lb)
+        blk, cls = _time_bsd_specs(f, nb, lb)
         return pl.pallas_call(
             _mk_time_fwd_bsd(scale, hd, hpb),
-            grid=(B, D // lb),
+            grid=(B, D // lb, n // nb),
             in_specs=[blk, blk, blk, cls, cls],
             out_specs=blk,
             out_shape=jax.ShapeDtypeStruct((B, f, n, D), q.dtype),
@@ -597,22 +610,27 @@ def make_time_attention_bsd(heads: int, scale: float):
         hd = D // heads
         lb = _lane_block(D, hd)
         hpb = lb // hd
-        blk, cls = _time_bsd_specs(f, n, lb)
+        nb = time_n_block(f, n, lb)
+        blk, cls = _time_bsd_specs(f, nb, lb)
+        cls_out = pl.BlockSpec((1, 1, 1, lb), lambda b, h, j: (b, j, 0, h),
+                               memory_space=pltpu.VMEM)
         shapes = (
             jax.ShapeDtypeStruct((B, f, n, D), q.dtype),
             jax.ShapeDtypeStruct((B, f, n, D), q.dtype),
             jax.ShapeDtypeStruct((B, f, n, D), q.dtype),
-            jax.ShapeDtypeStruct((B, 1, D), q.dtype),
-            jax.ShapeDtypeStruct((B, 1, D), q.dtype),
+            jax.ShapeDtypeStruct((B, n // nb, 1, D), q.dtype),  # per n-block
+            jax.ShapeDtypeStruct((B, n // nb, 1, D), q.dtype),
         )
-        return pl.pallas_call(
+        dq, dk, dv, dck_j, dcv_j = pl.pallas_call(
             _mk_time_bwd_bsd(scale, hd, hpb),
-            grid=(B, D // lb),
+            grid=(B, D // lb, n // nb),
             in_specs=[blk, blk, blk, cls, cls, blk],
-            out_specs=(blk, blk, blk, cls, cls),
+            out_specs=(blk, blk, blk, cls_out, cls_out),
             out_shape=shapes,
             interpret=_use_interpret(),
         )(q, k, v, cls_k, cls_v, do)
+        # cls grads accumulate over the n-blocks outside the kernel
+        return dq, dk, dv, jnp.sum(dck_j, axis=1), jnp.sum(dcv_j, axis=1)
 
     fn.defvjp(fwd, bwd)
     return fn

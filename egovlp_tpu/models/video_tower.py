@@ -146,11 +146,7 @@ class SpaceTimeBlock(nn.Module):
         if cfg.attention_impl == "auto":
             on_tpu = jax.default_backend() == "tpu"
             space_impl = "pallas" if on_tpu else "xla"
-            # the fused time kernel holds all frames of a patch column in
-            # VMEM; its backward has 11 ref blocks of [f, n, 128] and blows
-            # the 16 MB scoped limit at f = 16 (measured 66 MB) — fall back
-            # to XLA for long clips.
-            time_impl = "pallas" if (on_tpu and frames <= 8) else "xla"
+            time_impl = "pallas" if on_tpu else "xla"
         else:
             space_impl = time_impl = cfg.attention_impl
 

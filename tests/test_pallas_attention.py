@@ -143,3 +143,55 @@ def test_bsd_matches_head_split(rng):
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
                 err_msg=f"{axis} d{name}",
             )
+
+
+def test_time_n_block_arithmetic():
+    from egovlp_tpu.kernels.pallas_attention import time_n_block
+
+    # small shapes: single block
+    assert time_n_block(4, 196, 128) == 196
+    # 16-frame pretraining shape must block (full would need ~18 MB)
+    nb = time_n_block(16, 196, 128)
+    assert nb < 196 and nb % 8 == 0
+    assert 11 * 16 * nb * 128 * 2 * 2 <= 8 * 2 ** 20
+
+
+def test_time_blocked_n_matches_xla(rng, monkeypatch):
+    """Force n-blocking (+ padding) on a tiny shape and check fwd + grads
+    against the XLA path."""
+    import importlib
+
+    import egovlp_tpu.kernels.pallas_attention as pa
+
+    da = importlib.import_module("egovlp_tpu.kernels.divided_attention")
+
+    monkeypatch.setattr(pa, "time_n_block", lambda f, n, lb: 8)
+    da._time_bsd.cache_clear()
+
+    B, H, f, n, hd = 1, 2, 3, 12, 16  # n=12 pads to 16, blocks of 8
+    D = H * hd
+    S = 1 + f * n
+    q, k, v = (_rand(rng, B, S, D) for _ in range(3))
+
+    want = da.divided_attention_bsd(q, k, v, heads=H, frames=f, patches=n,
+                                    axis="time", impl="xla")
+    got = da.divided_attention_bsd(q, k, v, heads=H, frames=f, patches=n,
+                                   axis="time", impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
+
+    def loss(impl):
+        def fn(q, k, v):
+            out = da.divided_attention_bsd(q, k, v, heads=H, frames=f,
+                                           patches=n, axis="time", impl=impl)
+            return jnp.sum(out * jnp.cos(out))
+
+        return fn
+
+    gx = jax.grad(loss("xla"), argnums=(0, 1, 2))(q, k, v)
+    gp = jax.grad(loss("pallas"), argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gp, gx, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"d{name}")
+    da._time_bsd.cache_clear()
