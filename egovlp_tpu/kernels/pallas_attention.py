@@ -574,13 +574,26 @@ def _time_bsd_specs(f, nb, lb):
 
 
 def time_n_block(f: int, n: int, lb: int, itemsize: int = 2) -> int:
-    """Largest n-block (multiple of 8, or full n) whose 11 ref blocks fit
-    comfortably under the 16 MB scoped-VMEM limit with double buffering."""
-    budget = 8 * 2 ** 20
-    if 11 * f * n * lb * itemsize * 2 <= budget:
+    """Largest n-block (multiple of 8, or full n) that keeps the kernel
+    within the 16 MB scoped-VMEM limit.
+
+    The limit is dominated by the unrolled f x (f+1) loop's live f32
+    temporaries, which scale ~f*(f+1)*nb*lb*4 bytes (calibrated: f=16
+    full-n measured 21.9 MB of scoped stack; f=4 full-n ~2 MB compiles
+    fine), plus the 11 double-buffered ref blocks."""
+    def spill(nb):
+        return f * (f + 1) * nb * lb * 4
+
+    # empirical (f=16, lb=128): full n=196 -> 21.9 MB scoped, nb=40 ->
+    # 19.7 MB (fails), nb=16 -> compiles. The scoped stack falls slowly
+    # with nb, so be conservative: full-n only when the model says tiny,
+    # otherwise small blocks.
+    if spill(n) <= int(2.5 * 2 ** 20):
         return n
-    nb = budget // (11 * f * lb * itemsize * 2)
-    return max((nb // 8) * 8, 8)
+    nb = 8
+    while spill(nb + 8) <= int(1.5 * 2 ** 20):
+        nb += 8
+    return nb
 
 
 def make_time_attention_bsd(heads: int, scale: float):
