@@ -386,3 +386,26 @@ def test_expand_temporal_windows(egoclip_root):
     assert [fs for i, fs in pairs if i == 0] == [0, 5, 10, 15, 20]
     # vlen 8 -> interval 2 -> fix_start 0
     assert [fs for i, fs in pairs if i == 1] == [0]
+
+
+def test_lax_loading_substitutes_black_frames(egoclip_root, tmp_path, rng):
+    """Decode failure under loading='lax' yields black frames (the
+    reference's data-level fault tolerance, base_dataset.py:109-115);
+    'strict' raises."""
+    import shutil
+
+    broken = tmp_path / "broken_root"
+    shutil.copytree(egoclip_root, broken)
+    # corrupt the chunk file
+    (broken / "vid_a" / "0.mp4").write_bytes(b"not a video")
+
+    ds_lax = EgoClipDataset(_cfg(data_dir=str(broken), split="train",
+                                 num_frames=4, loading="lax"))
+    item = ds_lax.get(0, rng)
+    assert item["frames"].shape == (4, PRE, PRE, 3)
+    assert item["frames"].sum() == 0  # black
+
+    ds_strict = EgoClipDataset(_cfg(data_dir=str(broken), split="train",
+                                    num_frames=4, loading="strict"))
+    with pytest.raises(ValueError):
+        ds_strict.get(0, rng)
