@@ -158,3 +158,14 @@ def test_multi_crops(rng):
     # left crop = vertically centered, horizontally at 0
     folded = frames.reshape(1, 2, 48, 64 * 3)
     np.testing.assert_array_equal(np.asarray(left), folded[..., 8:40, :96])
+
+
+def test_tokenizer_punctuation_and_accents(vocab_file):
+    """Backends agree on punctuation splitting and accent stripping."""
+    r = WordPieceTokenizer(vocab_file, max_length=12, backend="rust")
+    p = WordPieceTokenizer(vocab_file, max_length=12, backend="python")
+    texts = ["the cat, sat... on the mat!", "Thé cät §", "#c c opens"]
+    ids_r, mask_r = r(texts)
+    ids_p, mask_p = p(texts)
+    np.testing.assert_array_equal(ids_r, ids_p)
+    np.testing.assert_array_equal(mask_r, mask_p)

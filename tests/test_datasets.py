@@ -409,3 +409,31 @@ def test_lax_loading_substitutes_black_frames(egoclip_root, tmp_path, rng):
                                     num_frames=4, loading="strict"))
     with pytest.raises(ValueError):
         ds_strict.get(0, rng)
+
+
+def test_shard_indices_no_drop_pads():
+    shards = [shard_indices(10, epoch=0, shuffle=False, seed=0, shard=s,
+                            num_shards=4, drop_last=False) for s in range(4)]
+    assert all(len(s) == 3 for s in shards)
+    union = np.concatenate(shards)
+    assert set(union) == set(range(10))  # padding repeats, covers all
+
+
+def test_egoclip_multi_tag_vectors(egoclip_root, tmp_path, rng):
+    """Multi-tag taxonomy strings '[1, 5]' produce multi-hot vectors."""
+    import shutil
+
+    import pandas as pd
+
+    root = tmp_path / "multi"
+    shutil.copytree(egoclip_root, root)
+    df = pd.read_csv(root / "egoclip.csv", sep="\t")
+    df.loc[0, "tag_noun"] = "[1, 5, 5]"
+    df.loc[0, "tag_verb"] = "[0, 2]"
+    df.to_csv(root / "egoclip.csv", sep="\t", index=False)
+
+    ds = EgoClipDataset(_cfg(data_dir=str(root), split="train", num_frames=2))
+    item = ds.get(0, rng)
+    assert item["noun_vec"].sum() == 2  # duplicates collapse
+    assert item["noun_vec"][1] == 1 and item["noun_vec"][5] == 1
+    assert item["verb_vec"].sum() == 2

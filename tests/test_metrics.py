@@ -148,3 +148,25 @@ def test_mir_metrics_from_matrices_identity():
     )
     assert m["mAP_AVG"] == pytest.approx(100.0)
     assert m["nDCG_AVG"] == pytest.approx(100.0)
+
+
+def test_v2t_multiple_captions_takes_closest():
+    """v2t ranks by the CLOSEST ground-truth caption when a video has
+    several (metric.py:176-190)."""
+    # 4 captions, 2 videos (2 caps each); sims[text, video]
+    sims = np.array([
+        [0.1, 0.0],   # cap 0 of video 0 (far)
+        [0.9, 0.0],   # cap 1 of video 0 (close)  -> rank 0 for video 0
+        [0.0, 0.2],   # cap 2 of video 1
+        [0.0, 0.8],   # cap 3 of video 1          -> rank 0 for video 1
+    ])
+    m = v2t_metrics(sims)
+    assert m["R1"] == pytest.approx(100.0)
+
+
+def test_v2t_rank_averaging_ties():
+    """All-equal similarities: tie ranks are averaged, not optimistic."""
+    sims = np.zeros((3, 3))
+    m = v2t_metrics(sims)
+    # every rank is the average of 0,1,2 = 1.0 -> MedR = 2.0
+    assert m["MedR"] == pytest.approx(2.0)

@@ -179,3 +179,16 @@ def test_cli_eval_smoke(tiny_config, tmp_path):
         eval_main(["--config", str(cfg_path)])
     out = json.loads(buf.getvalue())
     assert set(out) == {"Intra-video", "Inter-video"}
+
+
+def test_config_override_and_get_path():
+    from egovlp_tpu.io.config import Config
+
+    c = Config({"a": {"b": 1}})
+    c.override("a.c.d", 5)
+    assert c.get_path("a.c.d") == 5
+    assert c.get_path("a.b") == 1
+    assert c.get_path("missing.x", "dflt") == "dflt"
+    c2 = c.clone()
+    c2.override("a.b", 9)
+    assert c.get_path("a.b") == 1  # deep copy
