@@ -22,11 +22,9 @@ Run: ``python -m egovlp_tpu.cli.serve --config ... --checkpoint ... --port 8000`
 
 from __future__ import annotations
 
-import functools
 import json
-from typing import List, Optional, Sequence
+from typing import Sequence
 
-import jax
 import numpy as np
 
 from egovlp_tpu.data.readers import read_frames

@@ -13,7 +13,6 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from egovlp_tpu.data.datasets import DatasetConfig, dataset_factory
 from egovlp_tpu.data.pipeline import Loader
@@ -62,9 +61,16 @@ def build_model_config(arch: Dict[str, Any]) -> DualEncoderConfig:
     )
 
 
-def build_model(arch: Dict[str, Any], compute_dtype=jnp.bfloat16
+def build_model(arch: Dict[str, Any], compute_dtype=None
                 ) -> Tuple[DualEncoder, DualEncoderConfig]:
+    """compute dtype resolution: explicit arg > arch.args.precision
+    ('bf16'/'fp32', core/precision.py policy names) > bf16 default."""
     cfg = build_model_config(arch)
+    if compute_dtype is None:
+        from egovlp_tpu.core.precision import policy_from_name
+
+        name = arch.get("args", arch).get("precision", "bf16")
+        compute_dtype = policy_from_name(name).compute_dtype
     return DualEncoder(cfg, dtype=compute_dtype), cfg
 
 

@@ -11,10 +11,9 @@ import time
 from typing import Any, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
-from egovlp_tpu.core.mesh import MeshSpec, create_mesh, replicated, shard_batch
+from egovlp_tpu.core.mesh import MeshSpec, create_mesh, replicated
 from egovlp_tpu.evals.charades import evaluate_charades, load_charades_classes
 from egovlp_tpu.evals.egomcq import evaluate_egomcq
 from egovlp_tpu.evals.epic_mir import embed_dataset, evaluate_epic_mir
