@@ -29,3 +29,15 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_configure(config):
+    """Build the native decoder if missing (it is a build artifact, not
+    tracked in git); readers fall back to cv2 when the build fails."""
+    import pathlib
+    import subprocess
+
+    root = pathlib.Path(__file__).parent.parent
+    so = root / "native" / "libegodecode.so"
+    if not so.exists():
+        subprocess.run(["make", "-C", str(root / "native")], check=False)
