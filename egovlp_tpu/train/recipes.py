@@ -102,7 +102,16 @@ def run_task(config, resume: Optional[str] = None):
     logger.info("task: %s", task)
 
     n_devices = config.get("n_devices")
-    devices = jax.devices()[:n_devices] if n_devices else None
+    if n_devices:
+        devices = jax.devices()
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"config requests n_devices={n_devices} but only "
+                f"{len(devices)} devices are visible"
+            )
+        devices = devices[:n_devices]
+    else:
+        devices = None
     mesh = create_mesh(MeshSpec(), devices)
     arch = config["arch"]
     model, mcfg = build.build_model(arch)
