@@ -14,6 +14,10 @@ from __future__ import annotations
 
 import numpy as np
 
+# Comparison-tensor element budget for the blockwise v2t rank computation
+# (bounds peak memory to ~2x this many bytes of bools per pass).
+_V2T_BLOCK_BUDGET = 1 << 24
+
 
 def _summarize(ranks: np.ndarray, num_queries: int) -> dict:
     ranks = np.asarray(ranks, np.float64)
@@ -70,17 +74,26 @@ def v2t_metrics(sims: np.ndarray, query_masks: np.ndarray | None = None) -> dict
     caps_per_video = num_caps // num_queries
     MISSING = 1e8
 
-    ranks = []
-    for i in range(num_queries):
-        row = dists[i].copy()
-        if query_masks is not None:
-            row[~query_masks.reshape(-1).astype(bool)] = MISSING
-        srt = np.sort(row)
-        best = np.inf
-        for j in range(i * caps_per_video, (i + 1) * caps_per_video):
-            if row[j] == MISSING:
-                continue
-            tied = np.where(srt - row[j] == 0)[0]
-            best = min(best, float(tied.mean()))
-        ranks.append(best)
-    return _summarize(np.asarray(ranks), num_queries)
+    if query_masks is not None:
+        keep = query_masks.reshape(-1).astype(bool)
+        dists = np.where(keep[None, :], dists, MISSING)
+
+    # The rank-averaged tie rank of value v within a row equals
+    # count(row < v) + (count(row == v) - 1) / 2 — computed for the gt
+    # captions only, in row blocks to bound the [block, cpv, caps]
+    # comparison tensor (one vectorized pass instead of a per-video sort).
+    gt_cols = (np.arange(num_queries)[:, None] * caps_per_video
+               + np.arange(caps_per_video)[None, :])
+    ranks = np.empty(num_queries, np.float64)
+    block = max(1, _V2T_BLOCK_BUDGET // max(1, caps_per_video * num_caps))
+    for s in range(0, num_queries, block):
+        e = min(num_queries, s + block)
+        d = dists[s:e]  # [b, caps]
+        g = d[np.arange(e - s)[:, None], gt_cols[s:e]]  # [b, cpv]
+        less = (d[:, None, :] < g[:, :, None]).sum(-1)
+        eq = (d[:, None, :] == g[:, :, None]).sum(-1)
+        avg = less + (eq - 1) / 2.0
+        # masked-out gt captions never count (reference skips row[j]==MISSING)
+        avg = np.where(g == MISSING, np.inf, avg)
+        ranks[s:e] = avg.min(axis=1)
+    return _summarize(ranks, num_queries)

@@ -170,3 +170,72 @@ def test_v2t_rank_averaging_ties():
     m = v2t_metrics(sims)
     # every rank is the average of 0,1,2 = 1.0 -> MedR = 2.0
     assert m["MedR"] == pytest.approx(2.0)
+
+
+def _v2t_loop_reference(sims, query_masks=None):
+    """Direct transliteration of the pre-vectorization per-video loop
+    (reference metric.py:157-190 semantics); oracle for the vectorized
+    v2t_metrics."""
+    sims = np.asarray(sims).T
+    num_queries, num_caps = sims.shape
+    dists = -sims
+    caps_per_video = num_caps // num_queries
+    MISSING = 1e8
+    ranks = []
+    for i in range(num_queries):
+        row = dists[i].copy()
+        if query_masks is not None:
+            row[~query_masks.reshape(-1).astype(bool)] = MISSING
+        srt = np.sort(row)
+        best = np.inf
+        for j in range(i * caps_per_video, (i + 1) * caps_per_video):
+            if row[j] == MISSING:
+                continue
+            tied = np.where(srt - row[j] == 0)[0]
+            best = min(best, float(tied.mean()))
+        ranks.append(best)
+    return ranks
+
+
+@pytest.mark.parametrize("caps_per_video", [1, 3])
+@pytest.mark.parametrize("quantize", [False, True])
+def test_v2t_vectorized_matches_loop(caps_per_video, quantize):
+    """The blockwise-vectorized v2t_metrics reproduces the per-video
+    sort/tie-average loop exactly, including heavy ties."""
+    rng = np.random.default_rng(7)
+    n_vids = 23
+    sims = rng.normal(size=(n_vids * caps_per_video, n_vids))
+    if quantize:  # force many exact ties
+        sims = np.round(sims * 2) / 2
+    got = v2t_metrics(sims)
+    want = _v2t_loop_reference(sims)
+    ref = t2v_metrics.__globals__["_summarize"](np.asarray(want), n_vids)
+    for k in ref:
+        assert got[k] == pytest.approx(ref[k]), k
+
+
+def test_v2t_vectorized_matches_loop_with_mask():
+    rng = np.random.default_rng(11)
+    n_vids, cpv = 12, 2
+    sims = np.round(rng.normal(size=(n_vids * cpv, n_vids)) * 3) / 3
+    mask = rng.integers(0, 2, size=n_vids * cpv)
+    mask[0] = 1  # keep at least one valid caption
+    got = v2t_metrics(sims, query_masks=mask)
+    want = _v2t_loop_reference(sims, query_masks=mask)
+    ref = t2v_metrics.__globals__["_summarize"](np.asarray(want), n_vids)
+    for k in ref:
+        if np.isnan(ref[k]) or np.isinf(ref[k]):
+            assert np.isnan(got[k]) or np.isinf(got[k]), k
+        else:
+            assert got[k] == pytest.approx(ref[k]), k
+
+
+def test_v2t_blockwise_small_blocks(monkeypatch):
+    """A forced 1-row block budget agrees with the one-shot pass."""
+    import egovlp_tpu.metrics.retrieval as R
+
+    rng = np.random.default_rng(3)
+    sims = np.round(rng.normal(size=(16, 8)) * 2) / 2  # cpv=2, with ties
+    full = v2t_metrics(sims)
+    monkeypatch.setattr(R, "_V2T_BLOCK_BUDGET", 1)
+    assert v2t_metrics(sims) == full
