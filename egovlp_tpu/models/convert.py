@@ -125,9 +125,22 @@ def video_tower_params(sd: Mapping[str, Array], cfg: VideoTowerConfig,
             ),
             "bias": sd["patch_embed.proj.bias"],
         }
-    for name in ("cls_token", "pos_embed"):
-        if have(name):
-            p[name] = sd[name]
+    if have("cls_token"):
+        p["cls_token"] = sd["cls_token"]
+    if have("pos_embed"):
+        tgt_tokens = np.asarray(p["pos_embed"]).shape[1]
+        src_tokens = sd["pos_embed"].shape[1]
+        if src_tokens != tgt_tokens:
+            # Match the reference's explicit guard (model/model.py:179-185):
+            # loading across spatial resolutions / patch counts is not
+            # supported — fail with a named error, not a later shape blowup.
+            raise NotImplementedError(
+                f"checkpoint pos_embed has {src_tokens} tokens but the model "
+                f"expects {tgt_tokens} (img_size={cfg.img_size}, "
+                f"patch_size={cfg.patch_size}); loading a checkpoint with a "
+                "different spatial resolution / patch count is not supported"
+            )
+        p["pos_embed"] = sd["pos_embed"]
     if have("temporal_embed"):
         p["temporal_embed"] = inflate_temporal_embed(
             sd["temporal_embed"], cfg.num_frames, load_temporal_fix

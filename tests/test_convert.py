@@ -264,3 +264,21 @@ def test_task_head_dim_mismatch_keeps_fresh_init(rng):
         np.asarray(out["txt_proj"]["kernel"]),
         np.asarray(template["txt_proj"]["kernel"]),
     )
+
+
+def test_pos_embed_patch_count_mismatch_raises(rng):
+    """A checkpoint trained at a different spatial resolution must fail with
+    a named error (reference model/model.py:179-185), not a later shape
+    blowup inside apply."""
+    sd = random_space_time_state_dict(
+        rng, dim=VCFG.embed_dim, depth=VCFG.depth, heads=VCFG.num_heads,
+        num_frames=VCFG.num_frames, patches_per_frame=VCFG.patches_per_frame,
+    )
+    video = rng.normal(size=(1, 4, 32, 32, 3)).astype(np.float32)
+    model = SpaceTimeTransformer(VCFG)
+    template = model.init(jax.random.PRNGKey(0), jnp.asarray(video))["params"]
+    sd = _np_sd(sd)
+    pe = sd["pos_embed"]
+    sd["pos_embed"] = np.concatenate([pe, pe[:, -3:]], axis=1)  # wrong count
+    with pytest.raises(NotImplementedError, match="pos_embed"):
+        video_tower_params(sd, VCFG, template)
