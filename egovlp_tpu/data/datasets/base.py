@@ -35,6 +35,7 @@ class DatasetConfig:
     neg_param: Optional[int] = None   # EgoClip scene-negative window (sec)
     subsample: Any = 1                # NLQ: 'video'|'text'; others: frac
     max_samples: Optional[int] = None
+    sliding_window_stride: int = -1   # test-time dense sampling (-1 = off)
     extra: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
     def __post_init__(self):
@@ -47,7 +48,18 @@ class TextVideoDataset:
 
     def __init__(self, cfg: DatasetConfig):
         self.cfg = cfg
+        self._windows: Optional[list] = None
         self._load_metadata()
+        if cfg.sliding_window_stride != -1:
+            # reference base_dataset.py:51-54: test-time only, computed once
+            # right after metadata load
+            if cfg.split != "test":
+                raise ValueError(
+                    "Fixing frame sampling is for test time only"
+                )
+            self._windows = self.expand_temporal_windows(
+                self._video_lens(), cfg.sliding_window_stride
+            )
 
     # -- subclass hooks ------------------------------------------------
     def _load_metadata(self):
@@ -74,25 +86,52 @@ class TextVideoDataset:
         )
 
     # -- test-time sliding-window expansion ------------------------------
+    def _video_lens(self):
+        """Frame counts per metadata row, for the sliding-window expansion
+        (reference base_dataset.py:68-74 `_get_video_lens`).  Implemented by
+        datasets whose reader supports ``fix_start`` offsets."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support sliding_window_stride"
+        )
+
     def expand_temporal_windows(self, vlens, stride: int):
         """Sliding-window test-time expansion (reference
         base_dataset.py:76-83 `_fix_temporal_samples`): each video of
         ``vlen`` frames becomes multiple items with ``fix_start`` offsets
-        0, stride, 2*stride, ... within one sampling interval.
+        0, stride, 2*stride, ... within one sampling-interval length.
 
-        Returns a list of (orig_index, fix_start) pairs; datasets that
-        support it remap item indices through this list and pass the
-        fix_start to their reader."""
+        The interval length follows the reference quirk exactly:
+        ``int(vlen / (min(vlen, num_frames) + 1))`` — the ``len(x - 1)``
+        in base_dataset.py:81 is the length of the intervals ARRAY
+        (num_frames + 1 boundaries), not num_frames.  When that range is
+        empty (very short videos) the video keeps a single fix_start=0
+        item; the reference's pandas ``explode`` would emit a NaN
+        fix_start there, which crashes its reader.
+
+        Returns a list of (orig_index, fix_start) pairs; datasets remap
+        item indices through this list and pass fix_start to the reader."""
         assert self.cfg.split == "test", (
             "sliding-window sampling is test-time only"
         )
         out = []
         for i, vlen in enumerate(vlens):
             acc = min(vlen, self.cfg.num_frames)
-            interval = max(int(vlen / max(acc, 1)), 1)
-            for fs in range(0, interval, stride):
+            stop = int(vlen / (acc + 1))
+            starts = list(range(0, stop, stride)) or [0]
+            for fs in starts:
                 out.append((i, fs))
         return out
+
+    def _resolve_index(self, idx: int, base_len: int):
+        """Map a loader index to (metadata_index, fix_start), through the
+        sliding-window table when active (reference base_dataset.py:88-100:
+        ``item % len(metadata)`` then the exploded row's fix_start)."""
+        if self._windows is None:
+            return idx % base_len, None
+        return self._windows[idx % len(self._windows)]
+
+    def _expanded_len(self, base_len: int) -> int:
+        return len(self._windows) if self._windows is not None else base_len
 
     def _decode_or_black(self, fn, *args, **kw) -> np.ndarray:
         """Run a reader; on failure follow the loading policy."""

@@ -13,7 +13,7 @@ from typing import Any, Dict
 import numpy as np
 
 from egovlp_tpu.data.datasets.base import TextVideoDataset
-from egovlp_tpu.data.readers import read_frames
+from egovlp_tpu.data.readers import get_video_len, read_frames
 
 
 class WebVidDataset(TextVideoDataset):
@@ -28,16 +28,24 @@ class WebVidDataset(TextVideoDataset):
         if isinstance(self.cfg.subsample, (int, float)) and self.cfg.subsample < 1:
             self.metadata = self.metadata.sample(frac=self.cfg.subsample)
 
+    def _video_path(self, sample) -> str:
+        rel = os.path.join("videos", str(sample["videoid"]) + ".mp4")
+        return os.path.join(self.cfg.data_dir, rel)
+
+    def _video_lens(self):
+        return [get_video_len(self._video_path(row),
+                              self.cfg.reader_backend)
+                for _, row in self.metadata.iterrows()]
+
     def __len__(self):
-        return len(self.metadata)
+        return self._expanded_len(len(self.metadata))
 
     def get(self, idx: int, rng: np.random.Generator) -> Dict[str, Any]:
-        idx = idx % len(self.metadata)
+        idx, fix_start = self._resolve_index(idx, len(self.metadata))
         sample = self.metadata.iloc[idx]
-        rel = os.path.join("videos", str(sample["videoid"]) + ".mp4")
         frames = self._decode_or_black(
-            read_frames, os.path.join(self.cfg.data_dir, rel),
-            self.cfg.num_frames, self.frame_sample,
+            read_frames, self._video_path(sample),
+            self.cfg.num_frames, self.frame_sample, fix_start=fix_start,
             pre_size=self.cfg.pre_size, rng=rng,
             backend=self.cfg.reader_backend,
         )

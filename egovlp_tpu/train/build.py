@@ -154,6 +154,9 @@ def build_dataset(dl_args: Dict[str, Any], split: str):
         neg_param=dl_args.get("neg_param"),
         subsample=dl_args.get("subsample", 1),
         max_samples=dl_args.get("max_samples"),
+        sliding_window_stride=int(
+            dl_args.get("sliding_window_stride", -1)
+        ),  # reference data_loader.py:25
         extra=dl_args.get("extra", {}),
     )
     return dataset_factory(name)(ds_cfg)

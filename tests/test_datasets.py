@@ -382,10 +382,57 @@ def test_expand_temporal_windows(egoclip_root):
     ds = EgoClipDataset(_cfg(data_dir=egoclip_root, split="test",
                              num_frames=4))
     pairs = ds.expand_temporal_windows([100, 8], stride=5)
-    # vlen 100 -> interval 25 -> fix_starts 0,5,10,15,20
-    assert [fs for i, fs in pairs if i == 0] == [0, 5, 10, 15, 20]
-    # vlen 8 -> interval 2 -> fix_start 0
+    # vlen 100 -> stop int(100/(4+1)) = 20 -> fix_starts 0,5,10,15
+    # (the reference's len(x - 1) is the len of the BOUNDARY array, nf+1)
+    assert [fs for i, fs in pairs if i == 0] == [0, 5, 10, 15]
+    # vlen 8 -> stop int(8/5) = 1 -> fix_start 0
     assert [fs for i, fs in pairs if i == 1] == [0]
+
+
+@pytest.fixture(scope="module")
+def webvid_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("webvid")
+    (root / "videos").mkdir()
+    make_video(root / "videos" / "101.mp4", n_frames=50)
+    make_video(root / "videos" / "102.mp4", n_frames=10)
+    (root / "metadata").mkdir()
+    df = pd.DataFrame({"videoid": [101, 102],
+                       "name": ["pouring water", "closing a jar"]})
+    for split in ("train", "val"):
+        df.to_csv(root / "metadata" / f"results_2M_{split}.csv", index=False)
+    return str(root)
+
+
+def test_sliding_window_expands_test_dataset(webvid_root):
+    """sliding_window_stride wires end-to-end (reference
+    base_dataset.py:51-54,76-83,96-105 + data_loader.py:25): the test split
+    expands to one item per (video, fix_start) window, and each window's
+    fix_start reaches the frame sampler."""
+    from egovlp_tpu.data.datasets import WebVidDataset
+
+    ds = WebVidDataset(_cfg(data_dir=webvid_root, split="test", num_frames=4,
+                            sliding_window_stride=3))
+    # vlen 50 -> stop int(50/5)=10 -> fix_starts 0,3,6,9; vlen 10 -> [0]
+    assert ds._windows == [(0, 0), (0, 3), (0, 6), (0, 9), (1, 0)]
+    assert len(ds) == 5
+
+    rng = np.random.default_rng(0)
+    # frame gray level encodes the decoded frame index (make_video), so
+    # successive windows of video 0 must shift brighter by ~stride*4 gray
+    means = [float(ds.get(i, rng)["frames"][0].mean()) for i in range(4)]
+    deltas = np.diff(means)
+    assert (deltas > 4).all(), means  # 3 frames * 4 gray/frame, lossy codec
+
+    item = ds.get(4, rng)  # second video, single window
+    assert item["frames"].shape == (4, PRE, PRE, 3)
+
+
+def test_sliding_window_train_split_raises(webvid_root):
+    from egovlp_tpu.data.datasets import WebVidDataset
+
+    with pytest.raises(ValueError, match="test time"):
+        WebVidDataset(_cfg(data_dir=webvid_root, split="train",
+                           num_frames=4, sliding_window_stride=3))
 
 
 def test_lax_loading_substitutes_black_frames(egoclip_root, tmp_path, rng):
