@@ -19,12 +19,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--checkpoint", required=True)
-    ap.add_argument("--num_frames", type=int, default=4)
-    ap.add_argument("--batch", type=int, default=2)
-    args = ap.parse_args()
+def probe(checkpoint: str, num_frames: int = 4, batch: int = 2) -> bool:
+    """Run the activation-level parity checks; returns overall pass/fail."""
+    import types
+
+    args = types.SimpleNamespace(checkpoint=checkpoint,
+                                 num_frames=num_frames, batch=batch)
 
     import jax
     import jax.numpy as jnp
@@ -55,6 +55,8 @@ def main():
                             attention_impl="xla")
     B, T, R = args.batch, args.num_frames, 224
 
+    results = []
+
     def report(name, got, want, tol=2e-2):
         """f32 reassociation between torch (oneDNN) and XLA legitimately
         drifts ~1e-2 relative at depth 12; what retrieval metrics care
@@ -67,9 +69,10 @@ def main():
         w = want.reshape(want.shape[0], -1)
         cos = float(np.min(np.sum(g * w, -1) / (
             np.linalg.norm(g, axis=-1) * np.linalg.norm(w, axis=-1) + 1e-9)))
-        status = "OK " if (rel < tol and cos > 0.9999) else "FAIL"
-        print(f"[{status}] {name}: max abs diff {diff:.3e} (rel {rel:.3e}), "
-              f"min cosine {cos:.6f}")
+        ok = rel < tol and cos > 0.9999
+        results.append(ok)
+        print(f"[{'OK ' if ok else 'FAIL'}] {name}: max abs diff {diff:.3e} "
+              f"(rel {rel:.3e}), min cosine {cos:.6f}")
 
     has_video = any(k.startswith("video_model.") for k in keys) or \
         "patch_embed.proj.weight" in keys
@@ -146,6 +149,18 @@ def main():
     if not has_video and not has_text:
         print("checkpoint has neither video_model.* nor text keys; nothing "
               "to probe")
+        return False
+    return all(results)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--num_frames", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=2)
+    args = ap.parse_args()
+    ok = probe(args.checkpoint, args.num_frames, args.batch)
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":
