@@ -113,6 +113,15 @@ class Loader:
         self.num_shards = num_shards
         self.max_samples_per_epoch = max_samples_per_epoch
 
+    @staticmethod
+    def item_rng(seed: int, epoch: int, item_idx: int) -> np.random.Generator:
+        """Per-item decode rng — a function of (seed, epoch, item) ONLY, so
+        an item's content is identical no matter which shard/process decodes
+        it (the property the multi-host equivalence tests rely on)."""
+        return np.random.default_rng(
+            (seed * 1_000_003 + epoch * 131 + item_idx) & 0x7FFFFFFF
+        )
+
     def __len__(self):
         n = len(self.dataset)
         if self.max_samples_per_epoch:
@@ -137,9 +146,7 @@ class Loader:
 
         def fetch_item(args):
             i, item_idx = args
-            rng = np.random.default_rng(
-                (self.seed * 1_000_003 + epoch * 131 + int(item_idx)) & 0x7FFFFFFF
-            )
+            rng = self.item_rng(self.seed, epoch, int(item_idx))
             return self.dataset.get(int(item_idx), rng)
 
         with ThreadPoolExecutor(self.num_workers) as pool:

@@ -1,10 +1,17 @@
-"""Worker for the 2-process distributed smoke test (see test_multihost_proc).
+"""Worker for the multi-process distributed tests (see test_multihost_proc).
 
-Each process owns 2 virtual CPU devices (4 global), initializes
-jax.distributed, builds its shard of a synthetic EgoClip batch, and runs
-ONE sharded EgoNCE train step over the global mesh — exercising
-make_array_from_process_local_data and the cross-process collectives.
-Prints LOSS=<value> on success.
+argv: coordinator rank num_processes mode
+
+Each process owns 2 virtual CPU devices, initializes jax.distributed, and:
+
+  mode=step    builds its shard of a synthetic EgoClip batch in-line and
+               runs ONE sharded EgoNCE train step over the global mesh —
+               exercising make_array_from_process_local_data and the
+               cross-process collectives. Prints LOSS=<value>.
+  mode=loader  decodes its per-process shard with the REAL Loader
+               (shard_indices DistributedSampler semantics) and runs the
+               same step — the loss must equal the single-process oracle
+               the parent test computes on the identical global batch.
 """
 
 import os
@@ -17,16 +24,32 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-coordinator, rank = sys.argv[1], int(sys.argv[2])
-jax.distributed.initialize(coordinator_address=coordinator, num_processes=2,
-                           process_id=rank)
+coordinator, rank, nprocs = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+mode = sys.argv[4] if len(sys.argv) > 4 else "step"
+jax.distributed.initialize(coordinator_address=coordinator,
+                           num_processes=nprocs, process_id=rank)
 
 import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from egovlp_tpu.core.mesh import MeshSpec, create_mesh, replicated, shard_batch
+
+assert jax.process_count() == nprocs, jax.process_count()
+assert jax.device_count() == 2 * nprocs
+
+mesh = create_mesh(MeshSpec())
+
+if mode == "loader":
+    from synth_ds import first_batch_loss
+
+    loss = first_batch_loss(mesh, shards=[rank], num_shards=nprocs,
+                            per_shard_batch=4)
+    print(f"LOSS={loss:.6f}", flush=True)
+    sys.exit(0)
+
 from egovlp_tpu.models import (
     DualEncoder,
     DualEncoderConfig,
@@ -35,9 +58,6 @@ from egovlp_tpu.models import (
 )
 from egovlp_tpu.train.state import create_train_state, make_optimizer
 from egovlp_tpu.train.steps import make_egoclip_train_step
-
-assert jax.process_count() == 2, jax.process_count()
-assert jax.device_count() == 4
 
 res = 32
 cfg = DualEncoderConfig(
@@ -53,12 +73,11 @@ params = model.init(jax.random.PRNGKey(0), video,
                     jnp.zeros((1, 4), jnp.int32),
                     jnp.ones((1, 4), jnp.int32))["params"]
 
-mesh = create_mesh(MeshSpec())
 tx = make_optimizer(1e-4, (60,), 10)
 state = create_train_state(model, params, tx)
 state = jax.device_put(state, replicated(mesh))
 
-# per-process LOCAL slice of the global batch (global = 8, local = 4)
+# per-process LOCAL slice of the global batch (4 items per process)
 rng = np.random.default_rng(rank)
 local = {
     "frames": rng.integers(0, 255, (4, 2, res, res * 3)).astype(np.uint8),
@@ -68,7 +87,7 @@ local = {
     "verb_vec": np.eye(4, 118, dtype=np.float32),
 }
 batch = shard_batch(local, mesh)
-assert batch["frames"].shape[0] == 8  # global batch assembled
+assert batch["frames"].shape[0] == 4 * nprocs  # global batch assembled
 
 step = make_egoclip_train_step(loss_type="EgoNCE", input_res=res)
 with mesh:

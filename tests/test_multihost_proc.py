@@ -1,6 +1,7 @@
-"""True multi-process distributed smoke test: 2 JAX processes x 2 CPU
-devices run one sharded EgoClip train step (the multi-host data path the
-reference covers with torch DDP + DistributedSampler)."""
+"""True multi-process distributed tests: N JAX processes x 2 CPU devices
+run sharded EgoClip train steps (the multi-host data path the reference
+covers with torch DDP + DistributedSampler,
+/root/reference/base/base_data_loader.py:112-132)."""
 
 import re
 import socket
@@ -8,6 +9,7 @@ import subprocess
 import sys
 from pathlib import Path
 
+import numpy as np
 import pytest
 
 
@@ -17,15 +19,16 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def test_two_process_train_step():
+def _run_workers(nprocs: int, mode: str = "step"):
     worker = Path(__file__).parent / "multihost_worker.py"
     coord = f"127.0.0.1:{_free_port()}"
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), coord, str(rank)],
+            [sys.executable, str(worker), coord, str(rank), str(nprocs),
+             mode],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
-        for rank in range(2)
+        for rank in range(nprocs)
     ]
     outs = []
     for p in procs:
@@ -35,6 +38,51 @@ def test_two_process_train_step():
         assert p.returncode == 0, f"rank {rank} failed:\n{out}"
     losses = [re.search(r"LOSS=([-\d.]+)", o) for o in outs]
     assert all(losses), outs
-    l0, l1 = (float(m.group(1)) for m in losses)
+    return [float(m.group(1)) for m in losses]
+
+
+def test_two_process_train_step():
+    l0, l1 = _run_workers(2)
     # both processes computed the SAME global-batch loss
     assert abs(l0 - l1) < 1e-5, (l0, l1)
+
+
+def test_four_process_train_step():
+    losses = _run_workers(4)
+    assert np.ptp(losses) < 1e-5, losses
+
+
+def test_four_process_loader_equals_single_process_global_batch():
+    """4-process per-shard loading + shard_batch produces the same global
+    loss as one process computing on the identical global batch — the
+    DistributedSampler-equivalence of pipeline.shard_indices under
+    jax.make_array_from_process_local_data, proven numerically."""
+    import jax
+
+    from egovlp_tpu.core.mesh import MeshSpec, create_mesh
+    from tests.synth_ds import first_batch_loss
+
+    losses = _run_workers(4, mode="loader")
+    assert np.ptp(losses) < 1e-5, losses
+
+    # single-process oracle: same global batch on a 1-device mesh
+    mesh = create_mesh(MeshSpec(), jax.devices()[:1])
+    oracle = first_batch_loss(mesh, shards=range(4), num_shards=4,
+                              per_shard_batch=4)
+    assert losses[0] == pytest.approx(oracle, rel=1e-4), (losses, oracle)
+
+
+def test_shard_indices_partition_is_exact():
+    """The N shards partition exactly the index list a 1-shard loader sees
+    (drop_last trim included) — no duplicates, no gaps."""
+    from egovlp_tpu.data.pipeline import shard_indices
+
+    n, nshards = 103, 4
+    full = shard_indices(n, epoch=3, shuffle=True, seed=5, shard=0,
+                         num_shards=1)
+    shards = [shard_indices(n, epoch=3, shuffle=True, seed=5, shard=r,
+                            num_shards=nshards) for r in range(nshards)]
+    per = n // nshards
+    assert all(len(s) == per for s in shards)
+    union = np.sort(np.concatenate(shards))
+    assert np.array_equal(union, np.sort(full[: per * nshards]))
