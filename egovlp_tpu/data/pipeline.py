@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import queue
 from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import TimeoutError as FutureTimeoutError
 from typing import Any, Dict, Iterator, List, Optional
 
 import numpy as np
@@ -100,7 +101,8 @@ class Loader:
                  shuffle: Optional[bool] = None, seed: int = 0,
                  num_workers: int = 8, prefetch_batches: int = 4,
                  drop_last: bool = True, shard: int = 0, num_shards: int = 1,
-                 max_samples_per_epoch: Optional[int] = None):
+                 max_samples_per_epoch: Optional[int] = None,
+                 item_timeout: Optional[float] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.tokenizer = tokenizer
@@ -112,6 +114,13 @@ class Loader:
         self.shard = shard
         self.num_shards = num_shards
         self.max_samples_per_epoch = max_samples_per_epoch
+        self.item_timeout = item_timeout
+        self._pool: Optional[ThreadPoolExecutor] = None
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
 
     @staticmethod
     def item_rng(seed: int, epoch: int, item_idx: int) -> np.random.Generator:
@@ -149,27 +158,65 @@ class Loader:
             rng = self.item_rng(self.seed, epoch, int(item_idx))
             return self.dataset.get(int(item_idx), rng)
 
-        with ThreadPoolExecutor(self.num_workers) as pool:
-            window: "queue.Queue" = queue.Queue()
-            it = iter(batches)
+        if self._pool is None:
+            # persistent across epochs: straggler threads from a previous
+            # epoch drain in the background instead of stalling epoch end
+            self._pool = ThreadPoolExecutor(self.num_workers)
+        pool = self._pool
+        window: "queue.Queue" = queue.Queue()
+        it = iter(batches)
 
-            def submit_next():
-                try:
-                    b = next(it)
-                except StopIteration:
-                    return False
-                futs = [pool.submit(fetch_item, (j, bi)) for j, bi in enumerate(b)]
-                window.put(futs)
-                return True
+        def submit_next():
+            try:
+                b = next(it)
+            except StopIteration:
+                return False
+            futs = [(bi, pool.submit(fetch_item, (j, bi)))
+                    for j, bi in enumerate(b)]
+            window.put(futs)
+            return True
 
-            for _ in range(self.prefetch_batches):
-                if not submit_next():
-                    break
-            while not window.empty():
-                futs = window.get()
-                submit_next()
-                items = [f.result() for f in futs]
-                yield collate(items, self.tokenizer)
+        for _ in range(self.prefetch_batches):
+            if not submit_next():
+                break
+        while not window.empty():
+            futs = window.get()
+            submit_next()
+            items = [self._item_result(i, f) for i, f in futs]
+            ok = [x for x in items if x is not None]
+            if not ok:
+                raise TimeoutError(
+                    f"all {len(items)} items of a batch timed out after "
+                    f"{self.item_timeout}s each"
+                )
+            # lax policy: a straggler/corrupt item is replaced by a healthy
+            # neighbour from the same batch (same role as the reference's
+            # black-frame substitute, base_dataset.py:109-115, but keeps
+            # valid pixel statistics for contrastive batches)
+            items = [x if x is not None else ok[0] for x in items]
+            yield collate(items, self.tokenizer)
+
+    def _item_result(self, item_idx, fut):
+        """Future result with the straggler policy: under loading='lax' a
+        decode that exceeds ``item_timeout`` (or raises) yields None for
+        neighbour substitution; 'strict' re-raises.  The abandoned thread
+        finishes in the background (threads are not cancellable) — the
+        persistent pool simply schedules around it."""
+        lax = getattr(self.dataset, "cfg", None) is not None and \
+            getattr(self.dataset.cfg, "loading", "strict") == "lax"
+        try:
+            return fut.result(timeout=self.item_timeout)
+        except FutureTimeoutError:
+            if not lax:
+                raise TimeoutError(
+                    f"decode of item {item_idx} exceeded "
+                    f"{self.item_timeout}s (loading='strict')"
+                ) from None
+            return None
+        except Exception:
+            if not lax:
+                raise
+            return None
 
 
 def device_prefetch(iterator, mesh, depth: int = 2):

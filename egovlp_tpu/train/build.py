@@ -179,4 +179,5 @@ def build_loader(dl_args: Dict[str, Any], split: str,
         shuffle=(split == "train") if dl_args.get("shuffle") is None
         else bool(dl_args.get("shuffle")),
         max_samples_per_epoch=max_samples_per_epoch,
+        item_timeout=dl_args.get("item_timeout_sec"),
     )

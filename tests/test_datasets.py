@@ -484,3 +484,56 @@ def test_egoclip_multi_tag_vectors(egoclip_root, tmp_path, rng):
     assert item["noun_vec"].sum() == 2  # duplicates collapse
     assert item["noun_vec"][1] == 1 and item["noun_vec"][5] == 1
     assert item["verb_vec"].sum() == 2
+
+
+class _HangingDataset:
+    """Items decode instantly except idx==2, which hangs (straggler stub)."""
+
+    def __init__(self, loading="lax", hang_idx=2, n=6):
+        from egovlp_tpu.data.datasets.base import DatasetConfig
+
+        self.cfg = DatasetConfig(split="train", num_frames=2, pre_size=8,
+                                 loading=loading)
+        self.hang_idx = hang_idx
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def get(self, idx, rng):
+        import time
+
+        if idx == self.hang_idx:
+            time.sleep(8)  # far beyond the test's item_timeout
+        return {"frames": np.full((2, 8, 8, 3), idx, np.uint8),
+                "text": f"item {idx}"}
+
+
+def test_loader_item_timeout_lax_substitutes_neighbor():
+    """A straggler decode under loading='lax' is replaced by a healthy
+    neighbour after item_timeout (loader-level fault tolerance the
+    reference gets from worker processes + black-frame substitution)."""
+    from egovlp_tpu.data.pipeline import Loader
+
+    ds = _HangingDataset(loading="lax")
+    loader = Loader(ds, batch_size=3, shuffle=False, drop_last=False,
+                    num_workers=2, item_timeout=0.5)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2
+    # batch 0 holds items 0,1,2; the hung idx 2 was substituted, so its
+    # frame fill value matches one of the healthy items instead of 2
+    fills = batches[0]["frames"][:, 0, 0, 0]
+    assert set(fills.tolist()) <= {0, 1}
+    assert batches[1]["frames"][:, 0, 0, 0].tolist() == [3, 4, 5]
+    loader.close()
+
+
+def test_loader_item_timeout_strict_raises():
+    from egovlp_tpu.data.pipeline import Loader
+
+    ds = _HangingDataset(loading="strict")
+    loader = Loader(ds, batch_size=3, shuffle=False, drop_last=False,
+                    num_workers=2, item_timeout=0.5)
+    with pytest.raises(TimeoutError, match="item 2"):
+        list(loader.epoch(0))
+    loader.close()
