@@ -13,6 +13,9 @@ from __future__ import annotations
 import argparse
 import json
 
+import jax.numpy as jnp
+import numpy as np
+
 from egovlp_tpu.evals.charades import evaluate_charades, load_charades_classes
 from egovlp_tpu.evals.egomcq import evaluate_egomcq
 from egovlp_tpu.evals.epic_mir import embed_dataset, evaluate_epic_mir
@@ -20,6 +23,7 @@ from egovlp_tpu.evals.oscc_pnr import evaluate_oscc, evaluate_pnr
 from egovlp_tpu.io.checkpoints import CheckpointManager
 from egovlp_tpu.io.config import load_config
 from egovlp_tpu.io.logging import setup_logging
+from egovlp_tpu.io.visualizer import build_visualizer
 from egovlp_tpu.metrics.mir import load_epic_annotations
 from egovlp_tpu.train import build
 from egovlp_tpu.train.recipes import _dl_args, infer_task
@@ -70,20 +74,32 @@ def main(argv=None):
     elif task == "epic":
         loader = build.build_loader(dl_args, split, tokenizer)
         loader.drop_last = False
-        t, v, _ = embed_dataset(model, params, loader, input_res,
-                                progress=True)
+        visualizer = build_visualizer(
+            config, config.get("save_dir", "results") + "/web")
+        t, v, meta = embed_dataset(model, params, loader, input_res,
+                                   progress=True, return_meta=True)
         video_ids, text_ids, rel = load_epic_annotations(
             dl_args.get("meta_dir") or dl_args["data_dir"])
         metrics = evaluate_epic_mir(t, v, video_ids, text_ids, rel,
                                     use_dual_softmax=args.dual_softmax)
+        if visualizer is not None:
+            from egovlp_tpu.models.dual_encoder import sim_matrix as _sm
+
+            sims = np.asarray(_sm(jnp.asarray(t), jnp.asarray(v)))
+            page = visualizer.visualize_ranking(sims, 0, meta["texts"],
+                                                meta["paths"])
+            logger.info("wrote retrieval report %s", page)
     elif task == "charades":
         loader = build.build_loader(dl_args, split, tokenizer)
         loader.drop_last = False
         classes = load_charades_classes(config.get(
             "charades_classes",
             f"{dl_args.get('meta_dir', dl_args['data_dir'])}/Charades_v1_classes.txt"))
-        metrics = evaluate_charades(model, params, loader, classes,
-                                    tokenizer, input_res, progress=True)
+        metrics = evaluate_charades(
+            model, params, loader, classes, tokenizer, input_res,
+            progress=True,
+            visualizer=build_visualizer(
+                config, config.get("save_dir", "results") + "/web"))
     elif task in ("oscc", "pnr"):
         loader = build.build_loader(dl_args, split, tokenizer)
         loader.drop_last = False

@@ -77,6 +77,7 @@ class EpicMIRDataset(TextVideoDataset):
         return {
             "frames": frames,
             "text": text,
+            "path": str(sample.iloc[2]),
             "relation": np.float32(relation),
             "item_v": np.int32(idx),
             "item_t": np.int32(tidx),

@@ -29,14 +29,15 @@ def load_charades_classes(path: str) -> List[str]:
 
 def evaluate_charades(model, params, loader, class_sentences: List[str],
                       tokenizer, input_res: int = 224,
-                      progress: bool = False) -> Dict[str, float]:
+                      progress: bool = False, visualizer=None,
+                      epoch: int = 0) -> Dict[str, float]:
     text_embed = make_text_embed_step()
     video_embed = make_video_embed_step(input_res)
 
     ids, mask = tokenizer(class_sentences)
     cls_embeds = np.asarray(text_embed(model.apply, params, ids, mask))
 
-    vids, targets = [], []
+    vids, targets, paths = [], [], []
     it = loader.epoch(0)
     if progress:
         import tqdm
@@ -46,6 +47,7 @@ def evaluate_charades(model, params, loader, class_sentences: List[str],
         v = video_embed(model.apply, params, batch["frames"])
         vids.append(np.asarray(v))
         targets.append(np.asarray(batch["target"]))
+        paths.extend(batch.get("path", [""] * len(np.asarray(v))))
     vid_embeds = np.concatenate(vids)
     targets = np.concatenate(targets)
 
@@ -53,4 +55,8 @@ def evaluate_charades(model, params, loader, class_sentences: List[str],
 
     sims = np.asarray(sim_matrix(jnp.asarray(cls_embeds),
                                  jnp.asarray(vid_embeds))).T  # [N, 157]
+    if visualizer is not None:
+        # per-class top videos; multi-label, so no single-GT highlighting
+        visualizer.visualize_ranking(sims.T, epoch, class_sentences, paths,
+                                     show_gt=False)
     return charades_metrics(sims, targets)

@@ -75,13 +75,17 @@ def evaluate_epic_mir(text_embeds: np.ndarray, vid_embeds: np.ndarray,
 
 
 def embed_dataset(model, params, loader, input_res: int = 224,
-                  progress: bool = False):
+                  progress: bool = False, return_meta: bool = False):
     """Embed every (text, video) pair of an EPIC loader in dataset order.
-    Returns (text_embeds, vid_embeds, item_indices)."""
+    Returns (text_embeds, vid_embeds, item_indices); with
+    ``return_meta=True`` also a {"texts", "paths"} dict in the same order
+    (the reference trainers' meta_arr for the visualizer,
+    trainer_epic.py:255-267)."""
     from egovlp_tpu.train.steps import make_embed_step
 
     embed = make_embed_step(input_res)
     t_all, v_all, idx_all = [], [], []
+    texts, paths = [], []
     it = loader.epoch(0)
     if progress:
         import tqdm
@@ -93,6 +97,13 @@ def embed_dataset(model, params, loader, input_res: int = 224,
         t_all.append(np.asarray(t))
         v_all.append(np.asarray(v))
         idx_all.append(np.asarray(batch["item_v"]))
+        texts.extend(batch.get("text", [""] * len(t)))
+        paths.extend(batch.get("path", [""] * len(t)))
     order = np.argsort(np.concatenate(idx_all))
-    return (np.concatenate(t_all)[order], np.concatenate(v_all)[order],
-            np.concatenate(idx_all)[order])
+    out = (np.concatenate(t_all)[order], np.concatenate(v_all)[order],
+           np.concatenate(idx_all)[order])
+    if return_meta:
+        meta = {"texts": [texts[i] for i in order],
+                "paths": [paths[i] for i in order]}
+        return out + (meta,)
+    return out

@@ -62,10 +62,13 @@ class RetrievalVisualizer:
     def visualize_ranking(self, sims: np.ndarray, epoch: int,
                           queries: Sequence[str],
                           paths: Sequence[str],
-                          gt_index: Optional[Sequence[int]] = None) -> Path:
+                          gt_index: Optional[Sequence[int]] = None,
+                          show_gt: bool = True) -> Path:
         """sims: [num_queries, num_videos]; queries: raw caption strings;
         paths: video/image path per candidate (relative to web_dir);
-        gt_index: ground-truth candidate per query (default: diagonal)."""
+        gt_index: ground-truth candidate per query (default: diagonal);
+        show_gt=False omits GT highlighting (multi-label tasks like
+        Charades, where no single candidate is 'the' ground truth)."""
         sims = np.asarray(sims)
         nq = sims.shape[0]
         gt = (np.arange(nq) if gt_index is None
@@ -75,23 +78,26 @@ class RetrievalVisualizer:
         sections: List[str] = []
         for qi in chosen:
             order = np.argsort(-sims[qi])[: self.top_k]
-            gt_rank = int(np.where(np.argsort(-sims[qi]) == gt[qi])[0][0]) + 1
             cells = []
             for r, vi in enumerate(order):
-                cls = "rank gt" if vi == gt[qi] else "rank"
+                cls = ("rank gt" if show_gt and vi == gt[qi] else "rank")
                 cells.append(
                     f'<div class="{cls}">{_media_tag(paths[vi])}'
                     f'<div class="label">#{r + 1} sim={sims[qi, vi]:.3f}'
                     f"</div></div>"
                 )
-            if gt[qi] not in order:
-                cells.append(
-                    f'<div class="rank gt">{_media_tag(paths[gt[qi]])}'
-                    f'<div class="label">GT (rank {gt_rank})</div></div>'
-                )
+            header = f"<b>{html.escape(str(queries[qi]))}</b>"
+            if show_gt:
+                gt_rank = int(np.where(
+                    np.argsort(-sims[qi]) == gt[qi])[0][0]) + 1
+                if gt[qi] not in order:
+                    cells.append(
+                        f'<div class="rank gt">{_media_tag(paths[gt[qi]])}'
+                        f'<div class="label">GT (rank {gt_rank})</div></div>'
+                    )
+                header += f" — GT rank {gt_rank}"
             sections.append(
-                f'<div class="query"><b>{html.escape(str(queries[qi]))}</b>'
-                f" — GT rank {gt_rank}<br>{''.join(cells)}</div>"
+                f'<div class="query">{header}<br>{"".join(cells)}</div>'
             )
 
         page = self.web_dir / f"ranking_ep{epoch}.html"
@@ -110,3 +116,24 @@ class RetrievalVisualizer:
         (self.web_dir / "index.html").write_text(
             _PAGE.format(title="Retrieval reports", body=body)
         )
+
+
+def build_visualizer(config, default_web_dir: str
+                     ) -> Optional[RetrievalVisualizer]:
+    """Instantiate from the config's ``visualizer`` section (the reference's
+    plumbing: run/train_epic.py:26-34 builds utils.visualizer.<type> when
+    ``type`` is non-empty; all shipped configs ship it disabled).  Accepts
+    the reference's arg names: ``web_dir`` and ``num_samples`` map directly;
+    ``exp_name``/``src_video_dir``/``vis_vid_freq`` are torch-run specific
+    and ignored."""
+    section = config.get("visualizer", {}) or {}
+    if not section.get("type"):
+        return None
+    args = dict(section.get("args", {}) or {})
+    web_dir = args.get("web_dir") or default_web_dir
+    kwargs = {}
+    if "num_samples" in args:
+        kwargs["num_samples"] = int(args["num_samples"])
+    if "top_k" in args:
+        kwargs["top_k"] = int(args["top_k"])
+    return RetrievalVisualizer(web_dir, **kwargs)

@@ -140,3 +140,62 @@ def test_feature_extraction(tmp_path, tiny_model, vocab_file):  # noqa: F811
     extract_text_features(model, params, FakeTextDataset(), tok, str(out_tl),
                           token_level=True)
     assert np.load(out_tl / "clip_0_sentence_0.npy").shape == (8, 8)
+
+
+def test_epic_visualizer_emits_ranking_report(epic_root, vocab_file,  # noqa: F811
+                                              tiny_model, tmp_path):
+    """The visualizer section wires into the eval path: a non-empty type
+    yields an HTML top-k ranking page (reference run/train_epic.py:26-34 +
+    utils/visualizer.py:48-142)."""
+    from egovlp_tpu.evals.epic_mir import embed_dataset
+    from egovlp_tpu.io.visualizer import build_visualizer
+    from egovlp_tpu.models.dual_encoder import sim_matrix
+
+    model, params = tiny_model
+    tok = WordPieceTokenizer(vocab_file, max_length=8)
+    ds = EpicMIRDataset(_cfg(data_dir=epic_root, meta_dir=epic_root,
+                             split="test", num_frames=4))
+    loader = Loader(ds, batch_size=2, tokenizer=tok, shuffle=False,
+                    drop_last=False)
+    t, v, idx, meta = embed_dataset(model, params, loader, input_res=RES,
+                                    return_meta=True)
+    assert len(meta["texts"]) == 4 and len(meta["paths"]) == 4
+    assert meta["paths"][0] == "P01/rgb_frames/P01_101"
+
+    vis = build_visualizer(
+        {"visualizer": {"type": "RetrievalVis",
+                        "args": {"web_dir": str(tmp_path / "web"),
+                                 "num_samples": 3}}},
+        str(tmp_path / "unused"))
+    assert vis is not None
+    sims = np.asarray(sim_matrix(jnp.asarray(t), jnp.asarray(v)))
+    page = vis.visualize_ranking(sims, 0, meta["texts"], meta["paths"])
+    text = page.read_text()
+    assert "GT rank" in text and "cut the onion" in text
+    assert (tmp_path / "web" / "index.html").exists()
+
+    # disabled config (all shipped configs) -> None
+    assert build_visualizer({"visualizer": {"type": ""}}, ".") is None
+    assert build_visualizer({}, ".") is None
+
+
+def test_charades_eval_with_visualizer(charades_root, vocab_file,  # noqa: F811
+                                       tiny_model, tmp_path):
+    from egovlp_tpu.evals.charades import evaluate_charades
+    from egovlp_tpu.io.visualizer import RetrievalVisualizer
+
+    model, params = tiny_model
+    tok = WordPieceTokenizer(vocab_file, max_length=8)
+    ds = CharadesEgoDataset(_cfg(data_dir=charades_root, split="val",
+                                 num_frames=4))
+    loader = Loader(ds, batch_size=1, tokenizer=tok, shuffle=False,
+                    drop_last=False)
+    classes = [f"someone does thing {i}" for i in range(157)]
+    vis = RetrievalVisualizer(str(tmp_path / "web"), num_samples=2)
+    m = evaluate_charades(model, params, loader, classes, tok, input_res=RES,
+                          visualizer=vis)
+    assert "mAP" in m
+    page = tmp_path / "web" / "ranking_ep0.html"
+    assert page.exists()
+    assert "VID01EGO.mp4" in page.read_text()
+    assert "GT rank" not in page.read_text()  # multi-label: no GT highlight
