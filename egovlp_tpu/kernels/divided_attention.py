@@ -205,7 +205,7 @@ def divided_attention_bsd(q, k, v, *, heads: int, frames: int, patches: int,
         )
 
         lb = _lane_block(D, hd)
-        nb = time_n_block(frames, patches, lb)
+        nb = time_n_block(frames, patches, lb, hd=hd)
         n_pad = -(-patches // nb) * nb
         if n_pad != patches:
             pad = [(0, 0), (0, 0), (0, n_pad - patches), (0, 0)]

@@ -573,14 +573,17 @@ def _time_bsd_specs(f, nb, lb):
     return blk, cls
 
 
-def time_n_block(f: int, n: int, lb: int, itemsize: int = 2) -> int:
-    """Largest n-block (multiple of 8, or full n) that keeps the kernel
-    within the 16 MB scoped-VMEM limit.
+def _analytic_time_n_block(f: int, n: int, lb: int) -> int:
+    """v5e-calibrated prior: largest n-block (multiple of 8, or full n)
+    expected to keep the kernel within the 16 MB scoped-VMEM limit.
 
     The limit is dominated by the unrolled f x (f+1) loop's live f32
     temporaries, which scale ~f*(f+1)*nb*lb*4 bytes (calibrated: f=16
     full-n measured 21.9 MB of scoped stack; f=4 full-n ~2 MB compiles
-    fine), plus the 11 double-buffered ref blocks."""
+    fine), plus the 11 double-buffered ref blocks.  On other TPU
+    generations / Mosaic versions this is only the STARTING candidate —
+    `time_n_block` verifies it with a compile probe and shrinks on
+    failure."""
     def spill(nb):
         return f * (f + 1) * nb * lb * 4
 
@@ -596,6 +599,154 @@ def time_n_block(f: int, n: int, lb: int, itemsize: int = 2) -> int:
     return nb
 
 
+_NB_CACHE: dict = {}
+
+
+def _device_kind() -> str:
+    try:
+        return jax.devices()[0].device_kind
+    except Exception:
+        return "unknown"
+
+
+def _nb_cache_file():
+    import os
+    import pathlib
+
+    root = os.environ.get("EGOVLP_CACHE_DIR",
+                          os.path.expanduser("~/.cache/egovlp_tpu"))
+    return pathlib.Path(root) / "time_nb_cache.json"
+
+
+def _nb_disk_get(key: str):
+    import json
+
+    try:
+        return json.loads(_nb_cache_file().read_text()).get(key)
+    except Exception:
+        return None
+
+
+def _nb_disk_put(key: str, nb: int) -> None:
+    import json
+
+    try:
+        path = _nb_cache_file()
+        path.parent.mkdir(parents=True, exist_ok=True)
+        data = {}
+        if path.exists():
+            data = json.loads(path.read_text())
+        data[key] = nb
+        path.write_text(json.dumps(data, indent=1, sort_keys=True))
+    except Exception:
+        pass  # best-effort: cache misses just re-probe
+
+
+def _time_kernel_compiles(f: int, nb: int, lb: int, hd: int,
+                          dtype=jnp.bfloat16) -> bool:
+    """Compile-probe one lane-slice / one n-block of the time kernels
+    (fwd + bwd) on the current backend.  The per-program VMEM footprint
+    depends only on the block shape, so a (1, f, nb, lb) single-block grid
+    is a faithful stand-in for the full launch."""
+    scale = float(hd) ** -0.5
+    hpb = lb // hd
+    blk, cls = _time_bsd_specs(f, nb, lb)
+    cls_out = pl.BlockSpec((1, 1, 1, lb), lambda b, h, j: (b, j, 0, h),
+                           memory_space=pltpu.VMEM)
+    q = jax.ShapeDtypeStruct((1, f, nb, lb), dtype)
+    c = jax.ShapeDtypeStruct((1, 1, lb), dtype)
+
+    def fwd(q_, k_, v_, ck_, cv_):
+        return pl.pallas_call(
+            _mk_time_fwd_bsd(scale, hd, hpb), grid=(1, 1, 1),
+            in_specs=[blk, blk, blk, cls, cls], out_specs=blk,
+            out_shape=jax.ShapeDtypeStruct((1, f, nb, lb), dtype),
+        )(q_, k_, v_, ck_, cv_)
+
+    def bwd(q_, k_, v_, ck_, cv_, do_):
+        return pl.pallas_call(
+            _mk_time_bwd_bsd(scale, hd, hpb), grid=(1, 1, 1),
+            in_specs=[blk, blk, blk, cls, cls, blk],
+            out_specs=(blk, blk, blk, cls_out, cls_out),
+            out_shape=(
+                jax.ShapeDtypeStruct((1, f, nb, lb), dtype),
+                jax.ShapeDtypeStruct((1, f, nb, lb), dtype),
+                jax.ShapeDtypeStruct((1, f, nb, lb), dtype),
+                jax.ShapeDtypeStruct((1, 1, 1, lb), dtype),
+                jax.ShapeDtypeStruct((1, 1, 1, lb), dtype),
+            ),
+        )(q_, k_, v_, ck_, cv_, do_)
+
+    try:
+        jax.jit(fwd).lower(q, q, q, c, c).compile()
+        jax.jit(bwd).lower(q, q, q, c, c, q).compile()
+        return True
+    except Exception:
+        return False
+
+
+def time_n_block(f: int, n: int, lb: int, itemsize: int = 2,
+                 hd: int | None = None) -> int:
+    """n-block size for the time kernels, valid on the CURRENT backend.
+
+    Starts from the v5e-calibrated analytic prior and, when ``hd`` is given
+    and we are on a real TPU, verifies it with a compile probe — shrinking
+    to the next multiple of 8 on scoped-VMEM failure — so block selection
+    ports to other TPU generations / Mosaic versions without editing
+    constants.  Results are cached in-process and on disk (keyed by device
+    kind + jax version); EGOVLP_TIME_NB overrides everything."""
+    import os
+
+    env = os.environ.get("EGOVLP_TIME_NB")
+    if env:
+        return int(env)
+
+    key = (f, n, lb)
+    if key in _NB_CACHE:
+        return _NB_CACHE[key]
+    # the kernel re-queries with the call site's PADDED n (ceil to nb);
+    # reuse the unpadded entry's choice so both sides always agree
+    for (kf, kn, klb), nb in _NB_CACHE.items():
+        if kf == f and klb == lb and -(-kn // nb) * nb == n:
+            _NB_CACHE[key] = nb
+            return nb
+
+    disk_key = f"{_device_kind()}|jax{jax.__version__}|f{f}|n{n}|lb{lb}"
+    cached = _nb_disk_get(disk_key)
+    if cached is not None:
+        _NB_CACHE[key] = int(cached)
+        return int(cached)
+
+    nb = _analytic_time_n_block(f, n, lb)
+    if hd is not None and not _use_interpret():
+        fail_floor = None  # smallest candidate known to fail
+        while not _time_kernel_compiles(f, nb, lb, hd):
+            if nb <= 8:
+                raise RuntimeError(
+                    f"time-attention kernel does not fit scoped VMEM on "
+                    f"{_device_kind()} even at n-block 8 (f={f}, lb={lb}); "
+                    "use attention_impl='xla' for this configuration"
+                )
+            fail_floor = nb
+            nb = max(8, nb // 2 // 8 * 8)  # halve: O(log) probes down
+        if fail_floor is not None:
+            # binary-search the largest fitting multiple of 8 in
+            # (nb, fail_floor) — halving overshoots by up to 2x
+            lo, hi = nb, fail_floor
+            while hi - lo > 8:
+                mid = (lo + hi) // 2 // 8 * 8
+                if mid <= lo or mid >= hi:
+                    break
+                if _time_kernel_compiles(f, mid, lb, hd):
+                    lo = mid
+                else:
+                    hi = mid
+            nb = lo
+        _nb_disk_put(disk_key, nb)
+    _NB_CACHE[key] = nb
+    return nb
+
+
 def make_time_attention_bsd(heads: int, scale: float):
     @jax.custom_vjp
     def fn(q, k, v, cls_k, cls_v):
@@ -603,7 +754,7 @@ def make_time_attention_bsd(heads: int, scale: float):
         hd = D // heads
         lb = _lane_block(D, hd)
         hpb = lb // hd
-        nb = time_n_block(f, n, lb)
+        nb = time_n_block(f, n, lb, hd=hd)
         blk, cls = _time_bsd_specs(f, nb, lb)
         return pl.pallas_call(
             _mk_time_fwd_bsd(scale, hd, hpb),
@@ -623,7 +774,7 @@ def make_time_attention_bsd(heads: int, scale: float):
         hd = D // heads
         lb = _lane_block(D, hd)
         hpb = lb // hd
-        nb = time_n_block(f, n, lb)
+        nb = time_n_block(f, n, lb, hd=hd)
         blk, cls = _time_bsd_specs(f, nb, lb)
         cls_out = pl.BlockSpec((1, 1, 1, lb), lambda b, h, j: (b, j, 0, h),
                                memory_space=pltpu.VMEM)

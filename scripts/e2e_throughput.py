@@ -47,7 +47,12 @@ def make_corpus(root, n_videos=12):
                               index=False)
 
 
-def main():
+def measure_e2e(state=None, step=None, n_steps: int = 24, warmup: int = 4,
+                batch_size: int = 16) -> dict:
+    """Synthetic corpus -> native decode Loader -> device_prefetch ->
+    flagship train step; returns {clips_per_sec, ms_per_step, ...}.  Pass an
+    existing (state, step) to reuse a compiled program (bench.py folds this
+    into its single emission)."""
     import jax
     import jax.numpy as jnp
 
@@ -74,22 +79,22 @@ def main():
         loading="strict", neg_param=60,
     ))
     tok = WordPieceTokenizer(vocab_path, max_length=30)
-    B = 16
+    B = batch_size
     loader = Loader(ds, batch_size=B, tokenizer=tok, num_workers=12,
                     prefetch_batches=6, seed=0)
 
     mesh = create_mesh(MeshSpec())
-    model = DualEncoder(DualEncoderConfig(), dtype=jnp.bfloat16)
-    video = jnp.zeros((1, 4, 224, 224 * 3), jnp.float32)
-    params = jax.jit(model.init)(
-        jax.random.PRNGKey(0), video, jnp.zeros((1, 30), jnp.int32),
-        jnp.ones((1, 30), jnp.int32))["params"]
-    tx = make_optimizer(3e-5, (60, 80), 100)
-    state = jax.device_put(create_train_state(model, params, tx),
-                           replicated(mesh))
-    step = make_egoclip_train_step(loss_type="EgoNCE", input_res=224)
+    if state is None or step is None:
+        model = DualEncoder(DualEncoderConfig(), dtype=jnp.bfloat16)
+        video = jnp.zeros((1, 4, 224, 224 * 3), jnp.float32)
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), video, jnp.zeros((1, 30), jnp.int32),
+            jnp.ones((1, 30), jnp.int32))["params"]
+        tx = make_optimizer(3e-5, (60, 80), 100)
+        state = jax.device_put(create_train_state(model, params, tx),
+                               replicated(mesh))
+        step = make_egoclip_train_step(loss_type="EgoNCE", input_res=224)
 
-    n_steps, warmup = 24, 4
     t_start = None
     losses = []
     i = -1
@@ -108,13 +113,21 @@ def main():
     dt = time.perf_counter() - t_start
     measured = n_steps - warmup
     clips_s = B * measured / dt
-    print(json.dumps({
-        "metric": "e2e_train_clips_per_sec_per_chip_with_input_pipeline",
-        "value": round(clips_s, 2),
+    return {
+        "clips_per_sec": round(clips_s, 2),
         "vs_baseline": round(clips_s / 0.9042, 2),
         "steps": measured,
         "ms_per_step": round(dt / measured * 1e3, 1),
         "final_loss": round(losses[-1], 4),
+    }
+
+
+def main():
+    m = measure_e2e()
+    print(json.dumps({
+        "metric": "e2e_train_clips_per_sec_per_chip_with_input_pipeline",
+        "value": m.pop("clips_per_sec"),
+        **m,
     }))
 
 

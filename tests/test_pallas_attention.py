@@ -165,7 +165,7 @@ def test_time_blocked_n_matches_xla(rng, monkeypatch):
 
     da = importlib.import_module("egovlp_tpu.kernels.divided_attention")
 
-    monkeypatch.setattr(pa, "time_n_block", lambda f, n, lb: 8)
+    monkeypatch.setattr(pa, "time_n_block", lambda f, n, lb, **kw: 8)
     da._time_bsd.cache_clear()
 
     B, H, f, n, hd = 1, 2, 3, 12, 16  # n=12 pads to 16, blocks of 8
@@ -195,3 +195,59 @@ def test_time_blocked_n_matches_xla(rng, monkeypatch):
                                    rtol=1e-4, atol=1e-4,
                                    err_msg=f"d{name}")
     da._time_bsd.cache_clear()
+
+
+def test_time_n_block_probe_shrinks_on_vmem_failure(monkeypatch, tmp_path):
+    """Portability: when the compile probe reports scoped-VMEM failure, the
+    block size halves (multiples of 8) until a candidate fits, and the
+    result is cached on disk keyed by device kind + jax version."""
+    import egovlp_tpu.kernels.pallas_attention as pa
+
+    monkeypatch.setenv("EGOVLP_CACHE_DIR", str(tmp_path))
+    monkeypatch.setattr(pa, "_NB_CACHE", {})
+    monkeypatch.setattr(pa, "_use_interpret", lambda: False)  # pretend TPU
+    probed = []
+
+    def fake_probe(f, nb, lb, hd, dtype=None):
+        probed.append(nb)
+        return nb <= 16  # pretend only nb<=16 fits this "generation"
+
+    monkeypatch.setattr(pa, "_time_kernel_compiles", fake_probe)
+
+    nb = pa.time_n_block(4, 196, 128, hd=64)
+    assert nb == 16  # largest fitting multiple of 8, found by search
+    assert probed[0] == 196  # analytic prior for f=4 says full n
+
+    # second query: in-process cache, no new probes
+    before = len(probed)
+    assert pa.time_n_block(4, 196, 128, hd=64) == 16
+    assert len(probed) == before
+
+    # padded re-query from the kernel agrees without probing
+    n_pad = -(-196 // nb) * nb
+    assert pa.time_n_block(4, n_pad, 128, hd=64) == 16
+    assert len(probed) == before
+
+    # fresh process (cleared in-proc cache): disk cache answers
+    monkeypatch.setattr(pa, "_NB_CACHE", {})
+    assert pa.time_n_block(4, 196, 128, hd=64) == 16
+    assert len(probed) == before
+
+
+def test_time_n_block_env_override(monkeypatch):
+    import egovlp_tpu.kernels.pallas_attention as pa
+
+    monkeypatch.setenv("EGOVLP_TIME_NB", "24")
+    assert pa.time_n_block(16, 196, 128) == 24
+
+
+def test_time_n_block_raises_when_nothing_fits(monkeypatch, tmp_path):
+    import egovlp_tpu.kernels.pallas_attention as pa
+
+    monkeypatch.setenv("EGOVLP_CACHE_DIR", str(tmp_path))
+    monkeypatch.setattr(pa, "_NB_CACHE", {})
+    monkeypatch.setattr(pa, "_use_interpret", lambda: False)
+    monkeypatch.setattr(pa, "_time_kernel_compiles",
+                        lambda *a, **k: False)
+    with pytest.raises(RuntimeError, match="attention_impl='xla'"):
+        pa.time_n_block(16, 196, 128, hd=64)
