@@ -99,7 +99,33 @@ def main():
 
     from egovlp_tpu.models import DualEncoder, DualEncoderConfig
     from egovlp_tpu.train.state import create_train_state, make_optimizer
-    from egovlp_tpu.train.steps import make_egoclip_train_step
+    from egovlp_tpu.train.steps import make_egoclip_train_step, numeric_batch
+
+    # end-to-end including the host input pipeline (decode -> collate ->
+    # device_prefetch) FIRST, with nothing else resident: running it after
+    # the compute trials deterministically hits an axon ResourceExhausted
+    # on the first prefetch device_put even with >2 GB provably free
+    # (bisected r2; standalone-order is reliable).  Its state/buffers are
+    # freed on return; one extra compile of the step program is the cost.
+    e2e_result = {}
+    try:
+        import gc
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "scripts"))
+        from e2e_throughput import measure_e2e
+
+        e2e = measure_e2e(n_steps=16, warmup=4)
+        e2e_result["e2e_with_input_clips_per_sec"] = e2e["clips_per_sec"]
+        e2e_result["e2e_ms_per_step"] = e2e["ms_per_step"]
+        gc.collect()
+    except Exception as e:
+        import traceback
+
+        traceback.print_exc()
+        e2e_result["e2e_error"] = f"{type(e).__name__}: {e}"[:200]
 
     cfg = DualEncoderConfig()
     model = DualEncoder(cfg, dtype=jnp.bfloat16)
@@ -129,6 +155,15 @@ def main():
     state = create_train_state(model, params, tx)
     step = make_egoclip_train_step(loss_type="EgoNCE", input_res=R)
 
+    # place state/batch exactly like the production path (replicated state,
+    # mesh-sharded batch) so the e2e fold below reuses THIS executable
+    # instead of loading a second copy of the big program
+    from egovlp_tpu.core.mesh import MeshSpec, create_mesh, replicated, shard_batch
+
+    mesh = create_mesh(MeshSpec())
+    state = jax.device_put(state, replicated(mesh))
+    batch = shard_batch(batch, mesh)
+
     # warmup / compile
     key = jax.random.PRNGKey(0)
     state, loss = step(state, batch, key)
@@ -136,16 +171,6 @@ def main():
     for i in range(3):
         state, loss = step(state, batch, jax.random.fold_in(key, i))
     float(loss)
-
-    # step FLOPs from the compiled program (for the MFU line)
-    step_flops = None
-    try:
-        cost = jax.jit(step).lower(state, batch, key).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        step_flops = float(cost.get("flops", 0.0)) or None
-    except Exception:
-        pass
 
     # the dev chip is shared/throttled with ~2x run-to-run variance;
     # report median + IQR of five trials (float(loss) forces a full sync
@@ -168,6 +193,7 @@ def main():
     # so MFU against nominal peak is meaningless here; measure the actual
     # ceiling with a dependent bf16 matmul chain at MXU-friendly shape)
     delivered_tflops = None
+    matmul_error = None
     try:
         m = 4096
         x = jnp.asarray(np.random.default_rng(1).normal(size=(m, m)) * 0.01,
@@ -190,8 +216,9 @@ def main():
         float(jnp.sum(x.astype(jnp.float32)))
         dt = time.perf_counter() - t0
         delivered_tflops = 2 * m ** 3 * 8 * reps / dt / 1e12
-    except Exception:
-        pass
+        del x, w  # free probe buffers before the e2e programs load
+    except Exception as e:
+        matmul_error = f"{type(e).__name__}: {e}"[:120]
 
     result = {
         "metric": "egoclip_train_clips_per_sec_per_chip",
@@ -201,27 +228,32 @@ def main():
         "iqr": [round(q1, 3), round(q3, 3)],
         "trials": trials,
     }
+
+    result.update(e2e_result)
+
+    # step FLOPs from the compiled program (for the MFU line)
+    step_flops = None
+    flops_error = None
+    try:
+        jitted = getattr(step, "jitted", step)
+        cost = jitted.lower(state, numeric_batch(batch), key).compile(
+        ).cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        step_flops = float(cost.get("flops", 0.0)) or None
+    except Exception as e:
+        flops_error = f"{type(e).__name__}: {e}"[:120]
+
     if step_flops and delivered_tflops:
         achieved = step_flops * median / B / 1e12  # TFLOP/s at median rate
         result["achieved_tflops"] = round(achieved, 2)
         result["delivered_matmul_tflops"] = round(delivered_tflops, 2)
         result["mfu_vs_delivered"] = round(achieved / delivered_tflops, 3)
-
-    # end-to-end including the host input pipeline (decode -> collate ->
-    # device_prefetch), folded into the same emission
-    try:
-        import os
-        import sys
-
-        sys.path.insert(0, os.path.join(os.path.dirname(
-            os.path.abspath(__file__)), "scripts"))
-        from e2e_throughput import measure_e2e
-
-        e2e = measure_e2e(state=state, step=step, n_steps=16, warmup=4)
-        result["e2e_with_input_clips_per_sec"] = e2e["clips_per_sec"]
-        result["e2e_ms_per_step"] = e2e["ms_per_step"]
-    except Exception as e:
-        result["e2e_error"] = f"{type(e).__name__}: {e}"[:200]
+    else:
+        for name, err in (("flops_error", flops_error),
+                          ("matmul_error", matmul_error)):
+            if err:
+                result[name] = err
 
     print(json.dumps(result))
 

@@ -45,10 +45,13 @@ def numeric_batch(batch: dict) -> dict:
 
 
 def arrays_only(step_fn: Callable) -> Callable:
-    """Wrap a jitted step so callers can pass raw collated batches."""
+    """Wrap a jitted step so callers can pass raw collated batches.  The
+    underlying jitted function stays reachable as ``.jitted`` (for
+    .lower()/cost_analysis introspection, e.g. bench.py's MFU line)."""
     def wrapped(state, batch, rng):
         return step_fn(state, numeric_batch(batch), rng)
 
+    wrapped.jitted = step_fn
     return wrapped
 
 
