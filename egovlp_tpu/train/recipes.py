@@ -33,6 +33,16 @@ from egovlp_tpu.train.steps import (
 from egovlp_tpu.train.trainer import Trainer, TrainerConfig
 
 
+def _visualizer(config):
+    """Per-epoch ranking-report writer when the config's visualizer section
+    is enabled (reference run/train_epic.py:26-34); None otherwise."""
+    from egovlp_tpu.io.visualizer import build_visualizer
+
+    save_dir = (config.get_path("trainer.save_dir", "results")
+                if hasattr(config, "get_path") else "results")
+    return build_visualizer(config, str(save_dir) + "/web")
+
+
 def infer_task(config) -> str:
     if "task" in config:
         return config["task"]
@@ -196,15 +206,26 @@ def run_task(config, resume: Optional[str] = None):
         )
         val_loader = build.build_loader(dl_args, "test", tokenizer)
         val_loader.drop_last = False
+        visualizer = _visualizer(config)
 
         def valid(state, epoch, mlog):
-            t, v, idx = embed_dataset(model, state.params, val_loader,
-                                      input_res)
+            t, v, idx, meta = embed_dataset(model, state.params, val_loader,
+                                            input_res, return_meta=True)
             video_ids, text_ids, rel = load_epic_annotations(
                 dl_args.get("meta_dir") or dl_args["data_dir"])
             m = evaluate_epic_mir(t, v, video_ids, text_ids, rel,
                                   use_dual_softmax=bool(
                                       config.get("dual_softmax", False)))
+            if visualizer is not None:
+                # per-epoch ranking report (reference trainer_epic.py:262-267)
+                import jax.numpy as jnp
+                import numpy as np
+
+                from egovlp_tpu.models.dual_encoder import sim_matrix
+
+                sims = np.asarray(sim_matrix(jnp.asarray(t), jnp.asarray(v)))
+                visualizer.visualize_ranking(sims, epoch, meta["texts"],
+                                             meta["paths"])
             mlog.set_step(epoch, "val")
             mlog.scalars(m)
             return m
@@ -221,10 +242,13 @@ def run_task(config, resume: Optional[str] = None):
             f"{dl_args.get('meta_dir', dl_args['data_dir'])}/Charades_v1_classes.txt",
         )
 
+        charades_vis = _visualizer(config)
+
         def valid(state, epoch, mlog):
             m = evaluate_charades(
                 model, state.params, val_loader,
-                load_charades_classes(classes_file), tokenizer, input_res)
+                load_charades_classes(classes_file), tokenizer, input_res,
+                visualizer=charades_vis, epoch=epoch)
             mlog.set_step(epoch, "val")
             mlog.scalars(m)
             return m
