@@ -729,9 +729,20 @@ def time_n_block(f: int, n: int, lb: int, itemsize: int = 2,
                 )
             fail_floor = nb
             nb = max(8, nb // 2 // 8 * 8)  # halve: O(log) probes down
+        if fail_floor is None and nb < n:
+            # the prior fit first try: grow while it keeps fitting (larger
+            # blocks amortise grid/launch overhead), capped at full n
+            grown = nb
+            while grown < n:
+                cand = min(n, grown * 2)  # doubles stay multiples of 8
+                if not _time_kernel_compiles(f, cand, lb, hd):
+                    fail_floor = cand
+                    break
+                grown = cand
+            nb = grown
         if fail_floor is not None:
             # binary-search the largest fitting multiple of 8 in
-            # (nb, fail_floor) — halving overshoots by up to 2x
+            # (nb, fail_floor) — halving/doubling overshoots by up to 2x
             lo, hi = nb, fail_floor
             while hi - lo > 8:
                 mid = (lo + hi) // 2 // 8 * 8

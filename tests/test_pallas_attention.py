@@ -251,3 +251,18 @@ def test_time_n_block_raises_when_nothing_fits(monkeypatch, tmp_path):
                         lambda *a, **k: False)
     with pytest.raises(RuntimeError, match="attention_impl='xla'"):
         pa.time_n_block(16, 196, 128, hd=64)
+
+
+def test_time_n_block_probe_grows_when_prior_fits(monkeypatch, tmp_path):
+    """When the analytic prior compiles first try, the probe grows the
+    block (doubling, then binary search) to the largest fitting size."""
+    import egovlp_tpu.kernels.pallas_attention as pa
+
+    monkeypatch.setenv("EGOVLP_CACHE_DIR", str(tmp_path))
+    monkeypatch.setattr(pa, "_NB_CACHE", {})
+    monkeypatch.setattr(pa, "_use_interpret", lambda: False)
+    monkeypatch.setattr(pa, "_time_kernel_compiles",
+                        lambda f, nb, lb, hd, dtype=None: nb <= 64)
+
+    # f=16 analytic prior is 8; 8->16->32->64 fit, 128 fails, search -> 64
+    assert pa.time_n_block(16, 196, 128, hd=64) == 64
