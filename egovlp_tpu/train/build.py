@@ -44,6 +44,7 @@ def build_model_config(arch: Dict[str, Any]) -> DualEncoderConfig:
         depth=int(vp.get("depth", 12)),
         num_heads=int(vp.get("num_heads", 12)),
         drop_path_rate=float(vp.get("drop_path_rate", 0.0)),
+        attention_impl=vp.get("attention_impl", "auto"),
     )
     text = TextTowerConfig(
         vocab_size=int(tp.get("vocab_size", 30522)),

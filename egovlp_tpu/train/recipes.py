@@ -122,8 +122,20 @@ def run_task(config, resume: Optional[str] = None):
         devices = devices[:n_devices]
     else:
         devices = None
-    mesh = create_mesh(MeshSpec(), devices)
+    mesh_cfg = config.get("mesh", {}) or {}
+    mesh = create_mesh(MeshSpec(data=int(mesh_cfg.get("data", -1)),
+                                model=int(mesh_cfg.get("model", 1))),
+                       devices)
     arch = config["arch"]
+    if mesh.shape.get("model", 1) > 1:
+        # pallas_call has no GSPMD partition rule; the tensor-parallel
+        # path must use the XLA attention op
+        arch = dict(arch)
+        args = dict(arch.get("args", {}))
+        vp = dict(args.get("video_params", {}))
+        vp["attention_impl"] = "xla"
+        args["video_params"] = vp
+        arch["args"] = args
     model, mcfg = build.build_model(arch)
     params = build.init_params(model, mcfg)
     params = build.load_pretrained(params, mcfg, arch, logger)
@@ -168,7 +180,15 @@ def run_task(config, resume: Optional[str] = None):
     tx = make_optimizer(lr, milestones, steps_per_epoch,
                         weight_decay=float(opt_args.get("weight_decay", 0.0)))
     state = create_train_state(model, params, tx)
-    state = jax.device_put(state, replicated(mesh))
+    if mesh.shape.get("model", 1) > 1:
+        from egovlp_tpu.core.tp import shard_state_tp
+
+        state = shard_state_tp(state, mesh)
+        logger.info("tensor parallelism: model axis %d (Megatron-style "
+                    "column/row shardings; see egovlp_tpu/core/tp.py)",
+                    mesh.shape["model"])
+    else:
+        state = jax.device_put(state, replicated(mesh))
 
     loss_cfg = config.get("loss", {})
     loss_type = loss_cfg.get("type", "EgoNCE")

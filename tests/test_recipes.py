@@ -192,3 +192,17 @@ def test_config_override_and_get_path():
     c2 = c.clone()
     c2.override("a.b", 9)
     assert c.get_path("a.b") == 1  # deep copy
+
+
+def test_run_task_tensor_parallel_mesh(tiny_config):
+    """config mesh {data, model} builds a dp x tp mesh, forces the XLA
+    attention path, and shards params Megatron-style — the full recipe
+    runs end-to-end."""
+    cfg = tiny_config.clone() if hasattr(tiny_config, "clone") else tiny_config
+    cfg.override("n_devices", 4)
+    cfg.override("mesh", {"data": 2, "model": 2})
+    cfg.override("trainer.epochs", 1)
+    state = run_task(cfg)
+    fc1 = state.params["text_model"]["layer00"]["ffn_lin1"]["kernel"]
+    shapes = {s.data.shape for s in fc1.addressable_shards}
+    assert shapes == {(24, 24)}  # hidden 48 split over the 2-way model axis
