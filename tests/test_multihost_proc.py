@@ -32,7 +32,9 @@ def _run_workers(nprocs: int, mode: str = "step"):
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=280)
+        # generous: 4 JAX processes compile serially on this 1-core host,
+        # and unrelated load (e.g. a concurrent bench) slows them further
+        out, _ = p.communicate(timeout=600)
         outs.append(out)
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out}"
