@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from egovlp_tpu.kernels.divided_attention import divided_attention_bsd
+from egovlp_tpu.kernels.divided_attention import divided_attention_parts
 
 
 @dataclasses.dataclass(frozen=True)
@@ -99,9 +99,12 @@ class VarAttention(nn.Module):
     @nn.compact
     def __call__(self, x, *, frames: int, patches: int, axis: str,
                  deterministic: bool = True):
-        B, S, D = x.shape
+        """``x`` is the ``(cls [B,1,D], patches [B,F*N,D])`` activation pair
+        (see SpaceTimeBlock); shared Dense modules are applied to both parts
+        so the parameter tree is identical to a concatenated layout."""
+        xc, xp = x
+        D = xp.shape[-1]
         H = self.num_heads
-        hd = D // H
 
         if self.zero_init:
             qkv_kernel_init = nn.initializers.zeros
@@ -116,20 +119,23 @@ class VarAttention(nn.Module):
             kernel_init=qkv_kernel_init,
             dtype=self.dtype,
             name="qkv",
-        )(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        )
+        qc, kc, vc = jnp.split(qkv(xc), 3, axis=-1)
+        qp, kp, vp = jnp.split(qkv(xp), 3, axis=-1)
 
-        # [B, S, D] straight into the attention op: with the Pallas path
-        # heads are lane-sliced in-kernel (no head transpose touches HBM).
-        out = divided_attention_bsd(q, k, v, heads=H, frames=frames,
-                                    patches=patches, axis=axis,
-                                    impl=self.impl)
+        # pair layout straight into the attention op: every reshape on the
+        # Pallas path is free, and heads are lane-sliced in-kernel (no head
+        # transpose or CLS splice touches HBM).
+        oc, op = divided_attention_parts(qc, kc, vc, qp, kp, vp, heads=H,
+                                         frames=frames, patches=patches,
+                                         axis=axis, impl=self.impl)
 
-        out = nn.Dense(
+        proj = nn.Dense(
             D, kernel_init=proj_kernel_init, dtype=self.dtype, name="proj"
-        )(out)
-        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
-        return out
+        )
+        drop = nn.Dropout(self.proj_drop)
+        return (drop(proj(oc), deterministic=deterministic),
+                drop(proj(op), deterministic=deterministic))
 
 
 class SpaceTimeBlock(nn.Module):
@@ -140,8 +146,13 @@ class SpaceTimeBlock(nn.Module):
     @nn.compact
     def __call__(self, x, frames: int, patches: int,
                  deterministic: bool = True):
+        """``x`` is the ``(cls, patches)`` activation pair; every module is
+        applied to both parts with shared parameters, so the tree matches a
+        concatenated [B, S, D] layout exactly."""
         cfg = self.cfg
         ln = lambda name: nn.LayerNorm(epsilon=cfg.ln_eps, dtype=self.dtype, name=name)
+        both = lambda m, pair: (m(pair[0]), m(pair[1]))
+        add = lambda a, b: (a[0] + b[0], a[1] + b[1])
 
         if cfg.attention_impl == "auto":
             on_tpu = jax.default_backend() == "tpu"
@@ -154,35 +165,42 @@ class SpaceTimeBlock(nn.Module):
             cfg.embed_dim, cfg.num_heads, qkv_bias=cfg.qkv_bias,
             zero_init=(cfg.time_init == "zeros"), proj_drop=cfg.drop_rate,
             impl=time_impl, dtype=self.dtype, name="timeattn",
-        )(ln("norm3")(x), frames=frames, patches=patches, axis="time",
+        )(both(ln("norm3"), x), frames=frames, patches=patches, axis="time",
           deterministic=deterministic)
-        time_residual = x + time_out
+        time_residual = add(x, time_out)
 
         space_out = VarAttention(
             cfg.embed_dim, cfg.num_heads, qkv_bias=cfg.qkv_bias,
             proj_drop=cfg.drop_rate, impl=space_impl,
             dtype=self.dtype, name="attn",
-        )(ln("norm1")(time_residual), frames=frames, patches=patches,
+        )(both(ln("norm1"), time_residual), frames=frames, patches=patches,
           axis="space", deterministic=deterministic)
 
         space_out = self._drop_path(space_out, deterministic)
         # Frozen-in-time quirk: residual from the ORIGINAL x, not from
         # time_residual (reference :170-171).  Checkpoint parity requires it.
-        space_residual = x + space_out
+        space_residual = add(x, space_out)
 
-        mlp_out = Mlp(
+        mlp = Mlp(
             int(cfg.embed_dim * cfg.mlp_ratio), cfg.embed_dim,
             dropout=cfg.drop_rate, dtype=self.dtype, name="mlp",
-        )(ln("norm2")(space_residual), deterministic=deterministic)
-        return space_residual + self._drop_path(mlp_out, deterministic)
+        )
+        norm2 = ln("norm2")
+        mlp_out = (mlp(norm2(space_residual[0]),
+                       deterministic=deterministic),
+                   mlp(norm2(space_residual[1]),
+                       deterministic=deterministic))
+        return add(space_residual, self._drop_path(mlp_out, deterministic))
 
-    def _drop_path(self, x, deterministic):
+    def _drop_path(self, pair, deterministic):
         if self.drop_path == 0.0 or deterministic:
-            return x
+            return pair
         keep = 1.0 - self.drop_path
         rng = self.make_rng("dropout")
-        mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
-        return x * mask / keep
+        # ONE per-sample mask applied to both parts (a token-independent
+        # path drop, exactly as on a concatenated layout)
+        mask = jax.random.bernoulli(rng, keep, (pair[1].shape[0], 1, 1))
+        return (pair[0] * mask / keep, pair[1] * mask / keep)
 
 
 class PatchEmbed(nn.Module):
@@ -251,26 +269,33 @@ class SpaceTimeTransformer(nn.Module):
         )
 
         cls = jnp.broadcast_to(cls_token.astype(self.dtype), (B, 1, D))
-        x = jnp.concatenate([cls, x], axis=1)
 
         # spatial pos tiled per frame: [1,2,..n,1,2,..n,...]; temporal embed
         # repeated within each frame: [t0 x n, t1 x n, ...] (reference :311-317)
         tile_pos = jnp.tile(pos_embed[:, 1:, :], (1, cfg.num_frames, 1))
         tile_temporal = jnp.repeat(temporal_embed, n, axis=1)
-        total_pos = jnp.concatenate(
-            [pos_embed[:, :1, :], tile_pos + tile_temporal], axis=1
-        )
-        x = x + total_pos[:, : x.shape[1]].astype(self.dtype)
-        x = nn.Dropout(cfg.drop_rate)(x, deterministic=deterministic)
+        patch_pos = (tile_pos + tile_temporal)[:, : T * n]
+        # activations ride as a (cls, patches) PAIR through the blocks: the
+        # divided-attention fast path then never pays a CLS splice/concat
+        # HBM pass (kernels/divided_attention.py::divided_attention_parts)
+        cls = cls + pos_embed[:, :1].astype(self.dtype)
+        x = x + patch_pos.astype(self.dtype)
+        drop = nn.Dropout(cfg.drop_rate)
+        cls = drop(cls, deterministic=deterministic)
+        x = drop(x, deterministic=deterministic)
+        pair = (cls, x)
 
         dpr = [float(r) for r in np.linspace(0.0, cfg.drop_path_rate, cfg.depth)]
         block_cls = SpaceTimeBlock
         if cfg.remat:
             block_cls = nn.remat(SpaceTimeBlock, static_argnums=(2, 3, 4))
         for i in range(cfg.depth):
-            x = block_cls(
+            pair = block_cls(
                 cfg, drop_path=dpr[i], dtype=self.dtype, name=f"block{i:02d}"
-            )(x, T, n, deterministic)
+            )(pair, T, n, deterministic)
 
-        x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=self.dtype, name="norm")(x)
-        return x[:, 0]
+        # only the CLS feature leaves the tower; the final LayerNorm's
+        # params are identical whether or not the patch rows pass through it
+        out = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=self.dtype,
+                           name="norm")(pair[0])
+        return out[:, 0]
