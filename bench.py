@@ -162,6 +162,7 @@ def main():
 
     mesh = create_mesh(MeshSpec())
     state = jax.device_put(state, replicated(mesh))
+    batch_np = batch  # host copy kept for the H2D bandwidth probe
     batch = shard_batch(batch, mesh)
 
     # warmup / compile
@@ -220,6 +221,27 @@ def main():
     except Exception as e:
         matmul_error = f"{type(e).__name__}: {e}"[:120]
 
+    # host->device bandwidth THIS session: on this dev setup the chip sits
+    # behind a stdio tunnel (~0.04 GB/s measured), which caps the
+    # e2e-with-input number; a production host DMAs at ~10 GB/s, so the
+    # number to read e2e against is this one
+    h2d_gbps = None
+    try:
+        probe = {k: v for k, v in batch_np.items()
+                 if isinstance(v, np.ndarray)}
+        nbytes = sum(v.nbytes for v in probe.values())
+        sb = shard_batch(probe, mesh)
+        float(jnp.sum(sb["frames"].astype(jnp.float32)))
+        t0 = time.perf_counter()
+        reps_h = 4
+        for _ in range(reps_h):
+            sb = shard_batch(probe, mesh)
+            float(jnp.sum(sb["frames"].astype(jnp.float32)))
+        h2d_gbps = nbytes * reps_h / (time.perf_counter() - t0) / 1e9
+        del sb
+    except Exception:
+        pass
+
     result = {
         "metric": "egoclip_train_clips_per_sec_per_chip",
         "value": round(median, 3),
@@ -243,6 +265,9 @@ def main():
         step_flops = float(cost.get("flops", 0.0)) or None
     except Exception as e:
         flops_error = f"{type(e).__name__}: {e}"[:120]
+
+    if h2d_gbps is not None:
+        result["h2d_gbps"] = round(h2d_gbps, 3)
 
     if step_flops and delivered_tflops:
         achieved = step_flops * median / B / 1e12  # TFLOP/s at median rate
