@@ -57,6 +57,12 @@ class VideoTowerConfig:
     # trades ~30% extra FLOPs for O(depth) less activation memory — lets
     # 16-frame fine-tuning batches grow well past the reference's bs 4/GPU.
     remat: bool = False
+    # Ulysses-style sequence/context parallelism (core/sp.py): name of the
+    # mesh axis to shard the token grid over — patch columns during time
+    # attention, frames during space attention; GSPMD inserts one
+    # all-to-all between the phases.  Requires attention_impl='xla'
+    # (pallas_call has no GSPMD partition rule).  None = off.
+    sequence_parallel: "str | None" = None
 
     @property
     def patches_per_frame(self) -> int:
@@ -94,6 +100,7 @@ class VarAttention(nn.Module):
     zero_init: bool = False
     proj_drop: float = 0.0
     impl: str = "xla"
+    sp_axis: "str | None" = None  # sequence-parallel mesh axis (core/sp.py)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -105,6 +112,14 @@ class VarAttention(nn.Module):
         xc, xp = x
         D = xp.shape[-1]
         H = self.num_heads
+
+        if self.sp_axis:
+            from egovlp_tpu.core.sp import constrain_tokens
+
+            # shard the token grid over the axis NOT attended; the phase
+            # change (time<->space) across blocks becomes one all-to-all
+            xp = constrain_tokens(xp, frames=frames, patches=patches,
+                                  attend_axis=axis, axis_name=self.sp_axis)
 
         if self.zero_init:
             qkv_kernel_init = nn.initializers.zeros
@@ -129,6 +144,10 @@ class VarAttention(nn.Module):
         oc, op = divided_attention_parts(qc, kc, vc, qp, kp, vp, heads=H,
                                          frames=frames, patches=patches,
                                          axis=axis, impl=self.impl)
+
+        if self.sp_axis:
+            op = constrain_tokens(op, frames=frames, patches=patches,
+                                  attend_axis=axis, axis_name=self.sp_axis)
 
         proj = nn.Dense(
             D, kernel_init=proj_kernel_init, dtype=self.dtype, name="proj"
@@ -160,11 +179,15 @@ class SpaceTimeBlock(nn.Module):
             time_impl = "pallas" if on_tpu else "xla"
         else:
             space_impl = time_impl = cfg.attention_impl
+        if cfg.sequence_parallel:
+            # sharded tokens must flow through partitionable ops
+            space_impl = time_impl = "xla"
 
         time_out = VarAttention(
             cfg.embed_dim, cfg.num_heads, qkv_bias=cfg.qkv_bias,
             zero_init=(cfg.time_init == "zeros"), proj_drop=cfg.drop_rate,
-            impl=time_impl, dtype=self.dtype, name="timeattn",
+            impl=time_impl, sp_axis=cfg.sequence_parallel,
+            dtype=self.dtype, name="timeattn",
         )(both(ln("norm3"), x), frames=frames, patches=patches, axis="time",
           deterministic=deterministic)
         time_residual = add(x, time_out)
@@ -172,6 +195,7 @@ class SpaceTimeBlock(nn.Module):
         space_out = VarAttention(
             cfg.embed_dim, cfg.num_heads, qkv_bias=cfg.qkv_bias,
             proj_drop=cfg.drop_rate, impl=space_impl,
+            sp_axis=cfg.sequence_parallel,
             dtype=self.dtype, name="attn",
         )(both(ln("norm1"), time_residual), frames=frames, patches=patches,
           axis="space", deterministic=deterministic)

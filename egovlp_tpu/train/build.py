@@ -45,6 +45,8 @@ def build_model_config(arch: Dict[str, Any]) -> DualEncoderConfig:
         num_heads=int(vp.get("num_heads", 12)),
         drop_path_rate=float(vp.get("drop_path_rate", 0.0)),
         attention_impl=vp.get("attention_impl", "auto"),
+        remat=bool(vp.get("remat", False)),
+        sequence_parallel=vp.get("sequence_parallel"),
     )
     text = TextTowerConfig(
         vocab_size=int(tp.get("vocab_size", 30522)),

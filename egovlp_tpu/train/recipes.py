@@ -13,7 +13,7 @@ from typing import Any, Dict, Optional
 import jax
 import numpy as np
 
-from egovlp_tpu.core.mesh import MeshSpec, create_mesh, replicated
+from egovlp_tpu.core.mesh import MODEL_AXIS, MeshSpec, create_mesh, replicated
 from egovlp_tpu.evals.charades import evaluate_charades, load_charades_classes
 from egovlp_tpu.evals.egomcq import evaluate_egomcq
 from egovlp_tpu.evals.epic_mir import embed_dataset, evaluate_epic_mir
@@ -134,6 +134,11 @@ def run_task(config, resume: Optional[str] = None):
         args = dict(arch.get("args", {}))
         vp = dict(args.get("video_params", {}))
         vp["attention_impl"] = "xla"
+        if mesh_cfg.get("sequence_parallel"):
+            # Ulysses-style context parallelism rides the model axis:
+            # token grid sharded over it, one all-to-all per time<->space
+            # phase change (egovlp_tpu/core/sp.py)
+            vp["sequence_parallel"] = MODEL_AXIS
         args["video_params"] = vp
         arch["args"] = args
     model, mcfg = build.build_model(arch)

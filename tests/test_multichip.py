@@ -151,3 +151,59 @@ def test_tensor_parallel_dpxtp_matches_data_parallel(rng):
     # fc2 [96, 24] row-shards to (48, 24) halves over the model axis
     fc2 = new_state.params["video_model"]["block00"]["mlp"]["fc2"]["kernel"]
     assert {s.data.shape for s in fc2.addressable_shards} == {(48, 24)}
+
+
+def test_sequence_parallel_matches_data_parallel(rng):
+    """Ulysses-style context parallelism (core/sp.py): sharding the video
+    token grid over the model axis — patch columns during time attention,
+    frames during space attention, one all-to-all between phases —
+    reproduces the pure-DP EgoNCE train-step loss."""
+    from egovlp_tpu.core.mesh import replicated, shard_batch
+    from egovlp_tpu.models import (
+        DualEncoder,
+        DualEncoderConfig,
+        TextTowerConfig,
+        VideoTowerConfig,
+    )
+    from egovlp_tpu.train.state import create_train_state, make_optimizer
+    from egovlp_tpu.train.steps import make_egoclip_train_step
+
+    res = 32  # 2x2 patch grid, 4 frames: both grid axes divide the 2-way axis
+
+    def run(mesh_spec, sp):
+        cfg = DualEncoderConfig(
+            video=VideoTowerConfig(img_size=res, patch_size=16, embed_dim=24,
+                                   depth=2, num_heads=2, num_frames=4,
+                                   attention_impl="xla",
+                                   sequence_parallel=("model" if sp else None)),
+            text=TextTowerConfig(vocab_size=64, dim=24, n_layers=2, n_heads=2,
+                                 hidden_dim=48, max_position_embeddings=16),
+            projection_dim=8,
+        )
+        model = DualEncoder(cfg)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 4, res, res, 3), jnp.float32),
+                            jnp.zeros((1, 8), jnp.int32),
+                            jnp.ones((1, 8), jnp.int32))["params"]
+        tx = make_optimizer(1e-4, (60,), 10)
+        mesh = create_mesh(mesh_spec)
+        step = make_egoclip_train_step(loss_type="EgoNCE", input_res=res)
+        state = create_train_state(model, params, tx)
+        state = jax.device_put(state, replicated(mesh))
+        batch = shard_batch(host_batch, mesh)
+        with mesh:
+            _, loss = step(state, batch, jax.random.PRNGKey(0))
+        return float(loss)
+
+    B = 16
+    host_batch = {
+        "frames": rng.integers(0, 255, (B, 4, res, res * 3)).astype(np.uint8),
+        "text_ids": rng.integers(0, 64, (B, 8)).astype(np.int32),
+        "text_mask": np.ones((B, 8), np.int32),
+        "noun_vec": np.eye(B, 582, dtype=np.float32),
+        "verb_vec": np.eye(B, 118, dtype=np.float32),
+    }
+
+    loss_dp = run(MeshSpec(), sp=False)                  # 8 x 1
+    loss_sp = run(MeshSpec(data=4, model=2), sp=True)    # tokens over model
+    assert loss_sp == pytest.approx(loss_dp, rel=1e-4)
