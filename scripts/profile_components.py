@@ -22,7 +22,8 @@ def timed(name, fn, *a, iters=5):
     results[name] = round(ms, 1)
     print(f"{name}: {ms:.1f} ms", flush=True)
 
-frames = rng.integers(0, 255, (B, T, P, P * 3)).astype(np.uint8)
+frames = jnp.asarray(  # device-resident: keep H2D (tunnel, ~0.04 GB/s
+    rng.integers(0, 255, (B, T, P, P * 3)).astype(np.uint8))  # here) out
 tf = jax.jit(lambda k, f: random_resized_crop_flip(k, f, out_size=224))
 timed("transform", tf, jax.random.PRNGKey(0), frames)
 

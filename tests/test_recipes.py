@@ -206,3 +206,25 @@ def test_run_task_tensor_parallel_mesh(tiny_config):
     fc1 = state.params["text_model"]["layer00"]["ffn_lin1"]["kernel"]
     shapes = {s.data.shape for s in fc1.addressable_shards}
     assert shapes == {(24, 24)}  # hidden 48 split over the 2-way model axis
+
+
+def test_run_task_sequence_parallel_mesh(tiny_config):
+    """mesh.sequence_parallel=true shards the video token grid over the
+    model axis (core/sp.py) inside the same recipe path; the config also
+    plumbs video_params.remat / .sequence_parallel via build_model_config."""
+    from egovlp_tpu.train.build import build_model_config
+
+    cfg = tiny_config.clone() if hasattr(tiny_config, "clone") else tiny_config
+    cfg.override("n_devices", 4)
+    cfg.override("mesh", {"data": 2, "model": 2, "sequence_parallel": True})
+    cfg.override("trainer.epochs", 1)
+    state = run_task(cfg)
+    assert state is not None
+
+    mc = build_model_config({"args": {
+        "video_params": {"num_frames": 4, "remat": True,
+                         "sequence_parallel": "model"},
+        "projection_dim": 8,
+    }})
+    assert mc.video.remat is True
+    assert mc.video.sequence_parallel == "model"
