@@ -16,14 +16,32 @@ Replaces the reference's torch DataLoader + DistributedSampler stack
 
 from __future__ import annotations
 
+import multiprocessing
 import queue
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from concurrent.futures import TimeoutError as FutureTimeoutError
 from typing import Any, Dict, Iterator, List, Optional
 
 import numpy as np
 
 from egovlp_tpu.data.text import WordPieceTokenizer
+
+# ---- process-worker state (num_procs > 0): each spawned worker builds its
+# dataset once from the pickled parent copy; items are fetched by index with
+# the same (seed, epoch, item) rng as the threaded path, so thread- and
+# process-based loading produce IDENTICAL batches (tested).
+_WORKER_DATASET = None
+
+
+def _proc_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _proc_fetch(args):
+    seed, epoch, item_idx = args
+    rng = Loader.item_rng(seed, epoch, item_idx)
+    return _WORKER_DATASET.get(int(item_idx), rng)
 
 
 def shard_indices(n: int, *, epoch: int, shuffle: bool, seed: int,
@@ -102,7 +120,8 @@ class Loader:
                  num_workers: int = 8, prefetch_batches: int = 4,
                  drop_last: bool = True, shard: int = 0, num_shards: int = 1,
                  max_samples_per_epoch: Optional[int] = None,
-                 item_timeout: Optional[float] = None):
+                 item_timeout: Optional[float] = None,
+                 num_procs: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.tokenizer = tokenizer
@@ -115,7 +134,13 @@ class Loader:
         self.num_shards = num_shards
         self.max_samples_per_epoch = max_samples_per_epoch
         self.item_timeout = item_timeout
-        self._pool: Optional[ThreadPoolExecutor] = None
+        # num_procs > 0 decodes in SPAWNED worker processes (the reference's
+        # torch-DataLoader model, base_data_loader.py) instead of threads —
+        # for hosts where the GIL-holding parts (numpy folds, samplers,
+        # metadata) cap thread scaling.  Spawn, not fork: the parent holds a
+        # live XLA client whose threads must not be inherited.
+        self.num_procs = num_procs
+        self._pool = None  # ThreadPoolExecutor or ProcessPoolExecutor
 
     def close(self):
         if self._pool is not None:
@@ -159,9 +184,17 @@ class Loader:
             return self.dataset.get(int(item_idx), rng)
 
         if self._pool is None:
-            # persistent across epochs: straggler threads from a previous
+            # persistent across epochs: straggler workers from a previous
             # epoch drain in the background instead of stalling epoch end
-            self._pool = ThreadPoolExecutor(self.num_workers)
+            if self.num_procs > 0:
+                self._pool = ProcessPoolExecutor(
+                    self.num_procs,
+                    mp_context=multiprocessing.get_context("spawn"),
+                    initializer=_proc_init,
+                    initargs=(self.dataset,),
+                )
+            else:
+                self._pool = ThreadPoolExecutor(self.num_workers)
         pool = self._pool
         window: "queue.Queue" = queue.Queue()
         it = iter(batches)
@@ -171,8 +204,13 @@ class Loader:
                 b = next(it)
             except StopIteration:
                 return False
-            futs = [(bi, pool.submit(fetch_item, (j, bi)))
-                    for j, bi in enumerate(b)]
+            if self.num_procs > 0:
+                futs = [(bi, pool.submit(_proc_fetch,
+                                         (self.seed, epoch, int(bi))))
+                        for bi in b]
+            else:
+                futs = [(bi, pool.submit(fetch_item, (j, bi)))
+                        for j, bi in enumerate(b)]
             window.put(futs)
             return True
 

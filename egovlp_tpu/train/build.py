@@ -175,6 +175,7 @@ def build_loader(dl_args: Dict[str, Any], split: str,
         batch_size=batch_size or int(dl_args.get("batch_size", 16)),
         tokenizer=tokenizer,
         num_workers=int(dl_args.get("num_workers", 8)),
+        num_procs=int(dl_args.get("num_procs", 0)),
         seed=int(dl_args.get("seed", 0)),
         shard=jax.process_index(),
         num_shards=jax.process_count(),

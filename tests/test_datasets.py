@@ -537,3 +537,34 @@ def test_loader_item_timeout_strict_raises():
     with pytest.raises(TimeoutError, match="item 2"):
         list(loader.epoch(0))
     loader.close()
+
+
+def test_loader_process_pool_equals_threads(egoclip_root, tmp_path):
+    """num_procs>0 decodes in spawned worker processes (the reference's
+    torch-DataLoader model); the deterministic per-item rng makes the
+    batches BYTE-identical to the threaded path."""
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "c", "does", "thing",
+             "#", "0", "1", "2", "3", "4", "5"]
+    vp = tmp_path / "vocab.txt"
+    vp.write_text("\n".join(vocab))
+    from egovlp_tpu.data.text import WordPieceTokenizer
+
+    tok = WordPieceTokenizer(str(vp), max_length=8)
+    ds = EgoClipDataset(_cfg(data_dir=egoclip_root, split="train",
+                             num_frames=2))
+    lt = Loader(ds, batch_size=2, tokenizer=tok, num_workers=2, seed=7)
+    lp = Loader(ds, batch_size=2, tokenizer=tok, num_procs=2, seed=7)
+    try:
+        bt = list(lt.epoch(3))
+        bp = list(lp.epoch(3))
+        assert len(bt) == len(bp) == 3
+        for a, b in zip(bt, bp):
+            assert set(a) == set(b)
+            for k in a:
+                if isinstance(a[k], np.ndarray):
+                    np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+                else:
+                    assert a[k] == b[k], k
+    finally:
+        lt.close()
+        lp.close()
