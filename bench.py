@@ -221,6 +221,48 @@ def main():
     except Exception as e:
         matmul_error = f"{type(e).__name__}: {e}"[:120]
 
+    # 16-frame fine-tune throughput (the reference's headline EPIC/Charades
+    # fine-tunes run at 16f bs16, configs/ft/*.json): one EPIC MaxMargin
+    # step on the 16-frame flagship tower.  Secondary field; guarded so an
+    # OOM or compile issue never fails the primary emission.
+    ft16 = {}
+    try:
+        from egovlp_tpu.models import VideoTowerConfig
+        from egovlp_tpu.train.steps import make_epic_train_step
+
+        cfg16 = DualEncoderConfig(
+            video=VideoTowerConfig(num_frames=16, remat=True))
+        model16 = DualEncoder(cfg16, dtype=jnp.bfloat16)
+        Bf = 16
+        params16 = jax.jit(model16.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, R, R * 3), jnp.float32),
+            jnp.zeros((1, L), jnp.int32), jnp.ones((1, L), jnp.int32),
+        )["params"]
+        state16 = jax.device_put(
+            create_train_state(model16, params16,
+                               make_optimizer(3e-5, (60, 80), 1000)),
+            replicated(mesh))
+        batch16 = shard_batch({
+            "frames": rng.integers(0, 255, (Bf, 16, P, P * 3)).astype(np.uint8),
+            "text_ids": rng.integers(0, cfg.text.vocab_size,
+                                     (Bf, L)).astype(np.int32),
+            "text_mask": np.ones((Bf, L), np.int32),
+        }, mesh)
+        step16 = make_epic_train_step(loss_type="MaxMarginRankingLoss",
+                                      input_res=R)
+        state16, l16 = step16(state16, batch16, key)
+        float(l16)
+        t0 = time.perf_counter()
+        it16 = 6
+        for i in range(it16):
+            state16, l16 = step16(state16, batch16, jax.random.fold_in(key, i))
+        float(l16)
+        ft16["ft16_clips_per_sec"] = round(
+            Bf * it16 / (time.perf_counter() - t0) / jax.device_count(), 3)
+        del state16, batch16, params16
+    except Exception as e:
+        ft16["ft16_error"] = f"{type(e).__name__}: {e}"[:160]
+
     # host->device bandwidth THIS session: on this dev setup the chip sits
     # behind a stdio tunnel (~0.04 GB/s measured), which caps the
     # e2e-with-input number; a production host DMAs at ~10 GB/s, so the
@@ -266,6 +308,7 @@ def main():
     except Exception as e:
         flops_error = f"{type(e).__name__}: {e}"[:120]
 
+    result.update(ft16)
     if h2d_gbps is not None:
         result["h2d_gbps"] = round(h2d_gbps, 3)
 
