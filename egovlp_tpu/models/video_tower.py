@@ -177,6 +177,14 @@ class SpaceTimeBlock(nn.Module):
             on_tpu = jax.default_backend() == "tpu"
             space_impl = "pallas" if on_tpu else "xla"
             time_impl = "pallas" if on_tpu else "xla"
+        elif cfg.attention_impl == "mixed":
+            # space fused, time on XLA — an escape hatch for toolchains
+            # where the time kernel misbehaves.  NOT a perf win here:
+            # measured 433 vs 336 ms/step (full EgoClip step, 4f) against
+            # 'auto'; the fused time kernel clearly wins at every shape.
+            on_tpu = jax.default_backend() == "tpu"
+            space_impl = "pallas" if on_tpu else "xla"
+            time_impl = "xla"
         else:
             space_impl = time_impl = cfg.attention_impl
         if cfg.sequence_parallel:
