@@ -476,89 +476,151 @@ def make_space_attention_bsd(heads: int, scale: float):
 
 
 def _mk_time_fwd_bsd(scale, hd, hpb):
-    # NOTE: k/v are re-read from the VMEM refs per use instead of being
-    # hoisted into f32 register lists — hoisting the full [f, n, hd] f32
-    # copies blows the scoped-VMEM stack at f=16 (measured 18.4M > 16M).
+    # fi-BATCHED formulation: all f destination rows of one head are
+    # processed as a single [f*nb, hd] tile, with k/v tiled per source
+    # frame.  vs the per-(fi, g) loop this launches ~f x fewer VPU ops on
+    # proportionally larger tiles — measured 2.9x faster at f=16 and at
+    # parity for f=4 (scan-amortized on v5e).  Live f32 temporaries scale
+    # ~O(f*nb*hd) instead of the old unrolled f*(f+1) stack, so larger
+    # n-blocks fit scoped VMEM (the compile probe re-verifies per device).
     def kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref):
-        f = q_ref.shape[1]
+        f, nb = q_ref.shape[1], q_ref.shape[2]
         for hp in range(hpb):
             c = slice(hp * hd, (hp + 1) * hd)
-            ck = ck_ref[0, :, c].astype(jnp.float32)
-            cv = cv_ref[0, :, c].astype(jnp.float32)
-            for fi in range(f):
-                qf = q_ref[0, fi, :, c].astype(jnp.float32) * scale
-                rows = [jnp.sum(qf * ck, axis=-1)]
-                rows += [
-                    jnp.sum(qf * k_ref[0, g, :, c].astype(jnp.float32),
-                            axis=-1)
-                    for g in range(f)
-                ]
-                logits = jnp.stack(rows, axis=0)
-                m = jnp.max(logits, axis=0, keepdims=True)
-                e = jnp.exp(logits - m)
-                p = e / jnp.sum(e, axis=0, keepdims=True)
-                out = p[0][:, None] * cv
-                for g in range(f):
-                    out = out + p[g + 1][:, None] * \
-                        v_ref[0, g, :, c].astype(jnp.float32)
-                o_ref[0, fi, :, c] = out.astype(o_ref.dtype)
+            qa = q_ref[0, :, :, c].reshape(f * nb, hd).astype(
+                jnp.float32) * scale
+            ck = ck_ref[0, :, c].astype(jnp.float32)   # [1, hd]
+            cols = [jnp.sum(qa * ck, axis=-1, keepdims=True)]
+            for g in range(f):
+                kg = k_ref[0, g, :, c].astype(jnp.float32)
+                cols.append(jnp.sum(qa * jnp.concatenate([kg] * f, axis=0),
+                                    axis=-1, keepdims=True))
+            logits = jnp.concatenate(cols, axis=1)      # [f*nb, f+1]
+            m = jnp.max(logits, axis=1, keepdims=True)
+            e = jnp.exp(logits - m)
+            p = e / jnp.sum(e, axis=1, keepdims=True)
+            out = p[:, :1] * jnp.broadcast_to(
+                cv_ref[0, :, c].astype(jnp.float32), (f * nb, hd))
+            for g in range(f):
+                vg = v_ref[0, g, :, c].astype(jnp.float32)
+                out = out + p[:, g + 1:g + 2] * \
+                    jnp.concatenate([vg] * f, axis=0)
+            o_ref[0, :, :, c] = out.reshape(f, nb, hd).astype(o_ref.dtype)
 
     return kernel
 
 
+def _time_bwd_small_f(scale, hd, hpb, q_ref, k_ref, v_ref, ck_ref, cv_ref,
+                      do_ref, dq_ref, dk_ref, dv_ref, dck_ref, dcv_ref):
+    """Per-(fi, g) time-attention backward — the fast body for small f.
+    Gradients for k/v/cls accumulate directly into the output refs (zeroed
+    up front) so no [f, n, hd] f32 accumulator lives in registers."""
+    f = q_ref.shape[1]
+    dk_ref[...] = jnp.zeros_like(dk_ref)
+    dv_ref[...] = jnp.zeros_like(dv_ref)
+    dck_ref[...] = jnp.zeros_like(dck_ref)
+    dcv_ref[...] = jnp.zeros_like(dcv_ref)
+    for hp in range(hpb):
+        c = slice(hp * hd, (hp + 1) * hd)
+        ck = ck_ref[0, :, c].astype(jnp.float32)
+        cv = cv_ref[0, :, c].astype(jnp.float32)
+        for fi in range(f):
+            qf = q_ref[0, fi, :, c].astype(jnp.float32) * scale
+            do = do_ref[0, fi, :, c].astype(jnp.float32)
+            rows = [jnp.sum(qf * ck, axis=-1)]
+            rows += [
+                jnp.sum(qf * k_ref[0, g, :, c].astype(jnp.float32), axis=-1)
+                for g in range(f)
+            ]
+            logits = jnp.stack(rows, axis=0)
+            m = jnp.max(logits, axis=0, keepdims=True)
+            e = jnp.exp(logits - m)
+            p = e / jnp.sum(e, axis=0, keepdims=True)
+            dp = [jnp.sum(do * cv, axis=-1)]
+            dp += [
+                jnp.sum(do * v_ref[0, g, :, c].astype(jnp.float32), axis=-1)
+                for g in range(f)
+            ]
+            dp = jnp.stack(dp, axis=0)
+            inner = jnp.sum(dp * p, axis=0, keepdims=True)
+            dl = p * (dp - inner)
+            dq = dl[0][:, None] * ck
+            dck_ref[0, 0, :, c] += jnp.sum(
+                dl[0][:, None] * qf, axis=0, keepdims=True
+            ).astype(dck_ref.dtype)
+            dcv_ref[0, 0, :, c] += jnp.sum(
+                p[0][:, None] * do, axis=0, keepdims=True
+            ).astype(dcv_ref.dtype)
+            for g in range(f):
+                dq = dq + dl[g + 1][:, None] * \
+                    k_ref[0, g, :, c].astype(jnp.float32)
+                dk_ref[0, g, :, c] += (
+                    dl[g + 1][:, None] * qf
+                ).astype(dk_ref.dtype)
+                dv_ref[0, g, :, c] += (
+                    p[g + 1][:, None] * do
+                ).astype(dv_ref.dtype)
+            dq_ref[0, fi, :, c] = (dq * scale).astype(dq_ref.dtype)
+
+
 def _mk_time_bwd_bsd(scale, hd, hpb):
-    # Gradients for k/v/cls accumulate directly into the output refs
-    # (zeroed up front) so no [f, n, hd] f32 accumulator lives in registers.
+    # Two trace-time bodies selected by frame count (measured, v5e,
+    # scan-amortized fwd+bwd per block):
+    #   f <= 4: per-(fi, g) loop with accumulating writes — 4.9 ms at the
+    #           4f pretrain shape vs 6.4 ms for the batched body (the
+    #           [f, nb, hd] sublane reductions don't pay off this small);
+    #   f >= 8: fi-BATCHED — one [f*nb, hd] tile per head, dk/dv cross-row
+    #           sums as sublane reductions; 2.9x faster at f=16.
     def kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, do_ref,
                dq_ref, dk_ref, dv_ref, dck_ref, dcv_ref):
-        f = q_ref.shape[1]
-        dk_ref[...] = jnp.zeros_like(dk_ref)
-        dv_ref[...] = jnp.zeros_like(dv_ref)
-        dck_ref[...] = jnp.zeros_like(dck_ref)
-        dcv_ref[...] = jnp.zeros_like(dcv_ref)
+        f, nb = q_ref.shape[1], q_ref.shape[2]
+        if f <= 4:
+            _time_bwd_small_f(scale, hd, hpb, q_ref, k_ref, v_ref, ck_ref,
+                              cv_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                              dck_ref, dcv_ref)
+            return
         for hp in range(hpb):
             c = slice(hp * hd, (hp + 1) * hd)
-            ck = ck_ref[0, :, c].astype(jnp.float32)
+            qa = q_ref[0, :, :, c].reshape(f * nb, hd).astype(
+                jnp.float32) * scale
+            do = do_ref[0, :, :, c].reshape(f * nb, hd).astype(jnp.float32)
+            ck = ck_ref[0, :, c].astype(jnp.float32)   # [1, hd]
             cv = cv_ref[0, :, c].astype(jnp.float32)
-            for fi in range(f):
-                qf = q_ref[0, fi, :, c].astype(jnp.float32) * scale
-                do = do_ref[0, fi, :, c].astype(jnp.float32)
-                rows = [jnp.sum(qf * ck, axis=-1)]
-                rows += [
-                    jnp.sum(qf * k_ref[0, g, :, c].astype(jnp.float32),
-                            axis=-1)
-                    for g in range(f)
-                ]
-                logits = jnp.stack(rows, axis=0)
-                m = jnp.max(logits, axis=0, keepdims=True)
-                e = jnp.exp(logits - m)
-                p = e / jnp.sum(e, axis=0, keepdims=True)
-                dp = [jnp.sum(do * cv, axis=-1)]
-                dp += [
-                    jnp.sum(do * v_ref[0, g, :, c].astype(jnp.float32),
-                            axis=-1)
-                    for g in range(f)
-                ]
-                dp = jnp.stack(dp, axis=0)
-                inner = jnp.sum(dp * p, axis=0, keepdims=True)
-                dl = p * (dp - inner)
-                dq = dl[0][:, None] * ck
-                dck_ref[0, 0, :, c] += jnp.sum(
-                    dl[0][:, None] * qf, axis=0, keepdims=True
-                ).astype(dck_ref.dtype)
-                dcv_ref[0, 0, :, c] += jnp.sum(
-                    p[0][:, None] * do, axis=0, keepdims=True
-                ).astype(dcv_ref.dtype)
-                for g in range(f):
-                    dq = dq + dl[g + 1][:, None] * \
-                        k_ref[0, g, :, c].astype(jnp.float32)
-                    dk_ref[0, g, :, c] += (
-                        dl[g + 1][:, None] * qf
-                    ).astype(dk_ref.dtype)
-                    dv_ref[0, g, :, c] += (
-                        p[g + 1][:, None] * do
-                    ).astype(dv_ref.dtype)
-                dq_ref[0, fi, :, c] = (dq * scale).astype(dq_ref.dtype)
+
+            cols = [jnp.sum(qa * ck, axis=-1, keepdims=True)]
+            dcols = [jnp.sum(do * cv, axis=-1, keepdims=True)]
+            for g in range(f):
+                kg = k_ref[0, g, :, c].astype(jnp.float32)
+                vg = v_ref[0, g, :, c].astype(jnp.float32)
+                cols.append(jnp.sum(qa * jnp.concatenate([kg] * f, axis=0),
+                                    axis=-1, keepdims=True))
+                dcols.append(jnp.sum(do * jnp.concatenate([vg] * f, axis=0),
+                                     axis=-1, keepdims=True))
+            logits = jnp.concatenate(cols, axis=1)      # [f*nb, f+1]
+            m = jnp.max(logits, axis=1, keepdims=True)
+            e = jnp.exp(logits - m)
+            p = e / jnp.sum(e, axis=1, keepdims=True)
+            dp = jnp.concatenate(dcols, axis=1)
+            inner = jnp.sum(dp * p, axis=1, keepdims=True)
+            dl = p * (dp - inner)
+
+            dq = dl[:, :1] * ck
+            for g in range(f):
+                kg = k_ref[0, g, :, c].astype(jnp.float32)
+                dq = dq + dl[:, g + 1:g + 2] * \
+                    jnp.concatenate([kg] * f, axis=0)
+                dk_ref[0, g, :, c] = jnp.sum(
+                    (dl[:, g + 1:g + 2] * qa).reshape(f, nb, hd), axis=0
+                ).astype(dk_ref.dtype)
+                dv_ref[0, g, :, c] = jnp.sum(
+                    (p[:, g + 1:g + 2] * do).reshape(f, nb, hd), axis=0
+                ).astype(dv_ref.dtype)
+            dck_ref[0, 0, :, c] = jnp.sum(
+                dl[:, :1] * qa, axis=0, keepdims=True).astype(dck_ref.dtype)
+            dcv_ref[0, 0, :, c] = jnp.sum(
+                p[:, :1] * do, axis=0, keepdims=True).astype(dcv_ref.dtype)
+            dq_ref[0, :, :, c] = (dq * scale).reshape(f, nb, hd).astype(
+                dq_ref.dtype)
 
     return kernel
 
@@ -574,27 +636,28 @@ def _time_bsd_specs(f, nb, lb):
 
 
 def _analytic_time_n_block(f: int, n: int, lb: int) -> int:
-    """v5e-calibrated prior: largest n-block (multiple of 8, or full n)
-    expected to keep the kernel within the 16 MB scoped-VMEM limit.
+    """Prior for the fi-batched kernels: largest n-block (multiple of 8, or
+    full n) expected to keep the kernel within the 16 MB scoped-VMEM limit.
 
-    The limit is dominated by the unrolled f x (f+1) loop's live f32
-    temporaries, which scale ~f*(f+1)*nb*lb*4 bytes (calibrated: f=16
-    full-n measured 21.9 MB of scoped stack; f=4 full-n ~2 MB compiles
-    fine), plus the 11 double-buffered ref blocks.  On other TPU
-    generations / Mosaic versions this is only the STARTING candidate —
-    `time_n_block` verifies it with a compile probe and shrinks on
-    failure."""
-    def spill(nb):
-        return f * (f + 1) * nb * lb * 4
+    Two VMEM terms both scale with nb: the 11 double-buffered bf16 ref
+    blocks (11 * f * nb * lb * 2 * 2 bytes — at f=16 full-n these alone
+    are ~17.6 MB) and the live f32 temporaries of the fi-batched kernel
+    ([f*nb, hd] q/do/out tiles, per-g tiled k/v, [f*nb, f+1] probability
+    tensors: ~(6*hd + 3*(f+1)) * f * nb * 4 with hd = lb/2 typical).  On
+    other TPU generations / Mosaic versions this is only the STARTING
+    candidate — `time_n_block` verifies it with a compile probe,
+    shrinking on failure and growing while it keeps fitting."""
+    hd = max(lb // 2, 64)
 
-    # empirical (f=16, lb=128): full n=196 -> 21.9 MB scoped, nb=40 ->
-    # 19.7 MB (fails), nb=16 -> compiles. The scoped stack falls slowly
-    # with nb, so be conservative: full-n only when the model says tiny,
-    # otherwise small blocks.
-    if spill(n) <= int(2.5 * 2 ** 20):
+    def vmem(nb):
+        refs = 11 * f * nb * lb * 2 * 2
+        temps = (6 * hd + 3 * (f + 1)) * f * nb * 4
+        return refs + temps
+
+    if vmem(n) <= int(12 * 2 ** 20):
         return n
     nb = 8
-    while spill(nb + 8) <= int(1.5 * 2 ** 20):
+    while nb + 8 < n and vmem(nb + 8) <= int(10 * 2 ** 20):
         nb += 8
     return nb
 
@@ -711,7 +774,9 @@ def time_n_block(f: int, n: int, lb: int, itemsize: int = 2,
             _NB_CACHE[key] = nb
             return nb
 
-    disk_key = f"{_device_kind()}|jax{jax.__version__}|f{f}|n{n}|lb{lb}"
+    # kv2: fi-batched kernels (different VMEM profile than the v1
+    # per-(fi, g) loop) — versioning invalidates stale cached block sizes
+    disk_key = f"{_device_kind()}|jax{jax.__version__}|kv2|f{f}|n{n}|lb{lb}"
     cached = _nb_disk_get(disk_key)
     if cached is not None:
         _NB_CACHE[key] = int(cached)
