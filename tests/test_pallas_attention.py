@@ -267,3 +267,34 @@ def test_time_n_block_probe_grows_when_prior_fits(monkeypatch, tmp_path):
 
     # f=16 analytic prior is 8; 8->16->32->64 fit, 128 fails, search -> 64
     assert pa.time_n_block(16, 196, 128, hd=64) == 64
+
+
+def test_time_bsd_batched_body_matches_xla(rng):
+    """f >= 8 routes the time kernels through the fi-BATCHED bodies (one
+    [f*nb, hd] tile per head, sublane-reduced dk/dv); check fwd + all grads
+    against the XLA path in interpret mode."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from egovlp_tpu.kernels.divided_attention import divided_attention_bsd
+
+    B, H, f, n, hd = 1, 2, 8, 12, 16
+    D, S = H * hd, 1 + 8 * 12
+    q, k, v = (jnp.asarray(rng.normal(size=(B, S, D)), jnp.float32)
+               for _ in range(3))
+
+    def loss(impl):
+        def fn(q, k, v):
+            out = divided_attention_bsd(q, k, v, heads=H, frames=f,
+                                        patches=n, axis="time", impl=impl)
+            return jnp.sum(out ** 2)
+
+        return fn
+
+    vp, gp = jax.value_and_grad(loss("pallas"), argnums=(0, 1, 2))(q, k, v)
+    vx, gx = jax.value_and_grad(loss("xla"), argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(float(vp), float(vx), rtol=1e-5)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
