@@ -21,9 +21,17 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    def __init__(self, directory: str):
+    def __init__(self, directory: str, async_save: bool = False):
+        """``async_save=True`` overlaps the Orbax write with subsequent
+        training: ``save_epoch`` returns as soon as the device arrays are
+        snapshotted and the serialization finishes in the background
+        (Orbax writes to a temp dir and renames atomically, so a crash
+        mid-write never corrupts a previous checkpoint).  ``wait()``
+        blocks until all in-flight writes land; restore/overwrite paths
+        synchronize automatically."""
         self.directory = Path(directory).absolute()
         self.directory.mkdir(parents=True, exist_ok=True)
+        self.async_save = async_save
         self._ckptr = ocp.StandardCheckpointer()
 
     # ------------------------------------------------------------------
@@ -35,19 +43,28 @@ class CheckpointManager:
             self._save(self.directory / "model_best", state)
         return path
 
+    def wait(self):
+        """Block until all in-flight async saves have landed."""
+        self._ckptr.wait_until_finished()
+
     def _save(self, path: Path, state: Dict[str, Any]):
+        # serialize with any in-flight write BEFORE mutating the target
+        # (model_best is overwritten every improvement)
+        self._ckptr.wait_until_finished()
         if path.exists():
             import shutil
 
             shutil.rmtree(path)
         self._ckptr.save(path, state)
-        self._ckptr.wait_until_finished()
+        if not self.async_save:
+            self._ckptr.wait_until_finished()
 
     # ------------------------------------------------------------------
     def restore(self, path: Optional[str] = None,
                 template: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
         """Restore a checkpoint (default: latest epoch in the directory).
         ``template`` is an abstract pytree with the target structure."""
+        self._ckptr.wait_until_finished()  # async saves must land first
         p = Path(path) if path else self.latest()
         if p is not None and p.resolve() == self.directory.resolve():
             # caller passed the manager directory itself -> use the latest

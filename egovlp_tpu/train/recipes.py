@@ -299,7 +299,9 @@ def run_task(config, resume: Optional[str] = None):
     mlog = MetricLogger(str(dirs.get("tf", "")) or None,
                         enabled=jax.process_index() == 0)
     ckpt_dir = str(dirs.get("models", "checkpoints"))
-    ckpt = CheckpointManager(ckpt_dir)
+    # trainer.async_save=true overlaps Orbax writes with the next epoch
+    ckpt = CheckpointManager(
+        ckpt_dir, async_save=bool(trainer_cfg.get("async_save", False)))
     start_epoch = 1
     if resume:
         restored = ckpt.restore(resume, template={

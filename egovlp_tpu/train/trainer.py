@@ -113,4 +113,6 @@ class Trainer:
                     "monitor_best": self.mnt_best,
                 }
                 self.ckpt.save_epoch(epoch, payload, is_best=best)
+        if self.ckpt is not None:
+            self.ckpt.wait()  # async saves must land before fit() returns
         return state

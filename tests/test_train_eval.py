@@ -160,3 +160,25 @@ def test_checkpoint_roundtrip(tmp_path, tiny_model):
     leaf = jax.tree_util.tree_leaves(restored["params"])[0]
     leaf0 = jax.tree_util.tree_leaves(state.params)[0]
     np.testing.assert_array_equal(np.asarray(leaf), np.asarray(leaf0))
+
+
+def test_checkpoint_async_save_roundtrip(tmp_path, tiny_model):
+    """async_save=True returns before the write lands; wait()/restore()
+    synchronize, and overwriting model_best twice in flight is safe."""
+    from egovlp_tpu.io.checkpoints import CheckpointManager
+
+    model, params = tiny_model
+    tx = make_optimizer(1e-3, (60,), 1)
+    state = create_train_state(model, params, tx)
+    cm = CheckpointManager(str(tmp_path / "ck"), async_save=True)
+    for epoch in (1, 2):
+        cm.save_epoch(epoch, {"params": state.params, "epoch": epoch,
+                              "monitor_best": 0.5}, is_best=True)
+    cm.wait()
+    restored = cm.restore()  # latest = epoch 2
+    assert restored["epoch"] == 2
+    best = cm.restore(str(tmp_path / "ck" / "model_best"))
+    assert best["epoch"] == 2
+    leaf = jax.tree_util.tree_leaves(restored["params"])[0]
+    leaf0 = jax.tree_util.tree_leaves(state.params)[0]
+    np.testing.assert_array_equal(np.asarray(leaf), np.asarray(leaf0))
