@@ -74,10 +74,12 @@ def main(argv=None):
     elif task == "epic":
         loader = build.build_loader(dl_args, split, tokenizer)
         loader.drop_last = False
-        visualizer = build_visualizer(
-            config, config.get("save_dir", "results") + "/web")
-        t, v, meta = embed_dataset(model, params, loader, input_res,
-                                   progress=True, return_meta=True)
+        save_dir = (config.get_path("trainer.save_dir", "results")
+                    if hasattr(config, "get_path")
+                    else config.get("trainer", {}).get("save_dir", "results"))
+        visualizer = build_visualizer(config, save_dir + "/web")
+        t, v, _idx, meta = embed_dataset(model, params, loader, input_res,
+                                         progress=True, return_meta=True)
         video_ids, text_ids, rel = load_epic_annotations(
             dl_args.get("meta_dir") or dl_args["data_dir"])
         metrics = evaluate_epic_mir(t, v, video_ids, text_ids, rel,

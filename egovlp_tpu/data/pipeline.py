@@ -74,11 +74,16 @@ def fold_frame_channels(v: np.ndarray) -> np.ndarray:
     return v.reshape(*v.shape[:-2], v.shape[-2] * v.shape[-1])
 
 
+# string fields that are metadata (file paths etc.), NOT captions: collate
+# keeps them as python lists and never tokenizes / ships them to the device
+META_STR_KEYS = frozenset({"path", "video_uid", "narration_id"})
+
+
 def collate(items: List[Dict[str, Any]],
             tokenizer: Optional[WordPieceTokenizer] = None
             ) -> Dict[str, Any]:
     """Stack numpy fields (video frames are channel-folded); tokenize str
-    fields to {key}_ids/{key}_mask."""
+    fields to {key}_ids/{key}_mask (except META_STR_KEYS)."""
     out: Dict[str, Any] = {}
     keys = items[0].keys()
     for k in keys:
@@ -86,7 +91,7 @@ def collate(items: List[Dict[str, Any]],
         vals = [it[k] for it in items]
         if isinstance(v0, str):
             out[k] = vals
-            if tokenizer is not None:
+            if tokenizer is not None and k not in META_STR_KEYS:
                 ids, mask = tokenizer(vals)
                 out[f"{k}_ids"] = ids
                 out[f"{k}_mask"] = mask
@@ -141,11 +146,16 @@ class Loader:
         # live XLA client whose threads must not be inherited.
         self.num_procs = num_procs
         self._pool = None  # ThreadPoolExecutor or ProcessPoolExecutor
+        # workers lost to timed-out (possibly hung-forever) items since the
+        # pool was created; when most of the pool is gone it is recycled at
+        # the next epoch boundary instead of silently starving
+        self._abandoned = 0
 
     def close(self):
         if self._pool is not None:
             self._pool.shutdown(wait=False, cancel_futures=True)
             self._pool = None
+        self._abandoned = 0
 
     @staticmethod
     def item_rng(seed: int, epoch: int, item_idx: int) -> np.random.Generator:
@@ -183,6 +193,13 @@ class Loader:
             rng = self.item_rng(self.seed, epoch, int(item_idx))
             return self.dataset.get(int(item_idx), rng)
 
+        n_workers = self.num_procs if self.num_procs > 0 else self.num_workers
+        if self._pool is not None and self._abandoned >= max(1, n_workers // 2):
+            # most workers are stuck on hung decodes — recycle the pool so
+            # the lax straggler policy cannot starve itself (the abandoned
+            # threads/processes drain or leak in the background; a fresh
+            # pool restores full decode concurrency)
+            self.close()
         if self._pool is None:
             # persistent across epochs: straggler workers from a previous
             # epoch drain in the background instead of stalling epoch end
@@ -240,17 +257,32 @@ class Loader:
         neighbour substitution; 'strict' re-raises.  The abandoned thread
         finishes in the background (threads are not cancellable) — the
         persistent pool simply schedules around it."""
+        from concurrent.futures.process import BrokenProcessPool
+
         lax = getattr(self.dataset, "cfg", None) is not None and \
             getattr(self.dataset.cfg, "loading", "strict") == "lax"
         try:
             return fut.result(timeout=self.item_timeout)
         except FutureTimeoutError:
+            self._abandoned += 1
             if not lax:
                 raise TimeoutError(
                     f"decode of item {item_idx} exceeded "
                     f"{self.item_timeout}s (loading='strict')"
                 ) from None
             return None
+        except BrokenProcessPool:
+            # a worker PROCESS died (segfault in a native decode) — the
+            # whole pool is dead, so item substitution cannot help; discard
+            # it (recreated fresh on the next epoch() call) and surface a
+            # clear diagnosis instead of a cascade of bogus timeouts
+            self.close()
+            raise RuntimeError(
+                f"decode worker process died while fetching item {item_idx} "
+                "(BrokenProcessPool); the pool was discarded and will be "
+                "recreated next epoch — if this repeats, hunt for a video "
+                "that crashes the native decoder"
+            ) from None
         except Exception:
             if not lax:
                 raise

@@ -47,12 +47,12 @@ def make_corpus(root, n_videos=12):
                               index=False)
 
 
-def measure_e2e(state=None, step=None, n_steps: int = 24, warmup: int = 4,
+def measure_e2e(n_steps: int = 24, warmup: int = 4,
                 batch_size: int = 16) -> dict:
     """Synthetic corpus -> native decode Loader -> device_prefetch ->
-    flagship train step; returns {clips_per_sec, ms_per_step, ...}.  Pass an
-    existing (state, step) to reuse a compiled program (bench.py folds this
-    into its single emission)."""
+    flagship train step; returns {clips_per_sec, ms_per_step, ...}.
+    Builds its own state/step (the persistent jit compile cache makes the
+    extra program load cheap on repeat runs)."""
     import jax
     import jax.numpy as jnp
 
@@ -84,16 +84,15 @@ def measure_e2e(state=None, step=None, n_steps: int = 24, warmup: int = 4,
                     prefetch_batches=6, seed=0)
 
     mesh = create_mesh(MeshSpec())
-    if state is None or step is None:
-        model = DualEncoder(DualEncoderConfig(), dtype=jnp.bfloat16)
-        video = jnp.zeros((1, 4, 224, 224 * 3), jnp.float32)
-        params = jax.jit(model.init)(
-            jax.random.PRNGKey(0), video, jnp.zeros((1, 30), jnp.int32),
-            jnp.ones((1, 30), jnp.int32))["params"]
-        tx = make_optimizer(3e-5, (60, 80), 100)
-        state = jax.device_put(create_train_state(model, params, tx),
-                               replicated(mesh))
-        step = make_egoclip_train_step(loss_type="EgoNCE", input_res=224)
+    model = DualEncoder(DualEncoderConfig(), dtype=jnp.bfloat16)
+    video = jnp.zeros((1, 4, 224, 224 * 3), jnp.float32)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), video, jnp.zeros((1, 30), jnp.int32),
+        jnp.ones((1, 30), jnp.int32))["params"]
+    tx = make_optimizer(3e-5, (60, 80), 100)
+    state = jax.device_put(create_train_state(model, params, tx),
+                           replicated(mesh))
+    step = make_egoclip_train_step(loss_type="EgoNCE", input_res=224)
 
     t_start = None
     losses = []

@@ -568,3 +568,57 @@ def test_loader_process_pool_equals_threads(egoclip_root, tmp_path):
     finally:
         lt.close()
         lp.close()
+
+
+class _CrashingDataset:
+    """Items decode fine except idx==1, which kills the worker PROCESS —
+    the segfault-in-native-decode stand-in. Picklable for spawn workers."""
+
+    def __init__(self, n=4):
+        from egovlp_tpu.data.datasets.base import DatasetConfig
+
+        self.cfg = DatasetConfig(split="train", num_frames=2, pre_size=8,
+                                 loading="lax")
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def get(self, idx, rng):
+        import os
+
+        if idx == 1:
+            os._exit(1)  # hard-kill, like a native-decoder segfault
+        return {"frames": np.full((2, 8, 8, 3), idx, np.uint8),
+                "text": f"item {idx}"}
+
+
+def test_loader_broken_process_pool_diagnosed_and_discarded():
+    """A worker-process death surfaces as a clear RuntimeError (not a bogus
+    timeout cascade), and the dead pool is discarded so the next epoch gets
+    a fresh one."""
+    from egovlp_tpu.data.pipeline import Loader
+
+    loader = Loader(_CrashingDataset(), batch_size=2, shuffle=False,
+                    drop_last=False, num_procs=2)
+    with pytest.raises(RuntimeError, match="BrokenProcessPool"):
+        list(loader.epoch(0))
+    assert loader._pool is None  # discarded; epoch() would recreate
+    loader.close()
+
+
+def test_loader_recycles_pool_after_hung_worker_buildup():
+    """Abandoned (timed-out) workers accumulate; once most of the pool is
+    gone, the next epoch() recycles it instead of starving."""
+    from egovlp_tpu.data.pipeline import Loader
+
+    ds = _HangingDataset(loading="lax", hang_idx=2, n=6)
+    loader = Loader(ds, batch_size=3, shuffle=False, drop_last=False,
+                    num_workers=2, item_timeout=0.5)
+    list(loader.epoch(0))  # one straggler -> half the 2-worker pool gone
+    assert loader._abandoned == 1
+    pool0 = loader._pool
+    list(loader.epoch(1))  # recycled at this epoch boundary -> no starvation
+    assert loader._pool is not pool0
+    assert loader._abandoned == 1  # fresh pool; this epoch's straggler only
+    loader.close()

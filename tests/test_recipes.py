@@ -228,3 +228,42 @@ def test_run_task_sequence_parallel_mesh(tiny_config):
     }})
     assert mc.video.remat is True
     assert mc.video.sequence_parallel == "model"
+
+
+def test_cli_eval_epic_smoke(tiny_config, tmp_path):
+    """cli.eval EPIC branch end-to-end (embed -> MIR metrics; catches the
+    embed_dataset return-arity contract), with the visualizer writing its
+    ranking report under trainer.save_dir."""
+    import io
+    from contextlib import redirect_stdout
+
+    from egovlp_tpu.cli.eval import main as eval_main
+    from tests.test_datasets import epic_root  # noqa: F401  (fixture)
+
+    root = epic_root.__wrapped__(  # build the corpus without fixture plumbing
+        type("TF", (), {"mktemp": staticmethod(
+            lambda name: tmp_path / name)})())
+    cfg = dict(tiny_config)
+    cfg["task"] = "epic"
+    cfg["data_loader"] = {
+        "type": "Loader",
+        "args": {
+            "dataset_name": "EpicKitchens_MIR",
+            "data_dir": str(root), "meta_dir": str(root),
+            "batch_size": 2, "num_workers": 2,
+            "video_params": {"input_res": 32, "num_frames": 4,
+                             "pre_size": 32, "loading": "strict"},
+        },
+    }
+    cfg["visualizer"] = {"type": "visualizer"}
+    cfg["trainer"]["save_dir"] = str(tmp_path / "epicres")
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        eval_main(["--config", str(cfg_path), "--split", "test"])
+    text = buf.getvalue()
+    out = json.loads(text[text.rfind("\n{") + 1:])  # skip logger lines
+    assert any("nDCG" in k for k in out)
+    web = os.path.join(str(tmp_path / "epicres"), "web")
+    assert os.path.isdir(web) and os.listdir(web), "no ranking report written"
