@@ -97,11 +97,13 @@ def main(argv=None):
         classes = load_charades_classes(config.get(
             "charades_classes",
             f"{dl_args.get('meta_dir', dl_args['data_dir'])}/Charades_v1_classes.txt"))
+        save_dir = (config.get_path("trainer.save_dir", "results")
+                    if hasattr(config, "get_path")
+                    else config.get("trainer", {}).get("save_dir", "results"))
         metrics = evaluate_charades(
             model, params, loader, classes, tokenizer, input_res,
             progress=True,
-            visualizer=build_visualizer(
-                config, config.get("save_dir", "results") + "/web"))
+            visualizer=build_visualizer(config, save_dir + "/web"))
     elif task in ("oscc", "pnr"):
         loader = build.build_loader(dl_args, split, tokenizer)
         loader.drop_last = False

@@ -622,3 +622,84 @@ def test_loader_recycles_pool_after_hung_worker_buildup():
     assert loader._pool is not pool0
     assert loader._abandoned == 1  # fresh pool; this epoch's straggler only
     loader.close()
+
+
+@pytest.fixture(scope="module")
+def nlq_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("nlq")
+    make_video(root / "vid_nlq.mp4", n_frames=90)  # 3 s @30fps
+    anno = {"videos": [{
+        "video_uid": "vid_nlq",
+        "clips": [{
+            "clip_uid": "clip0",
+            "video_start_sec": 0.0,
+            "video_end_sec": 2.5,
+            "annotations": [{"language_queries": [
+                {"query": "where did I put the knife"},
+                {"query": ""},  # empty queries are dropped (reference)
+                {"query": "who did I talk to"},
+            ]}],
+        }],
+    }]}
+    for name in ("nlq_val.json", "moments_val.json"):
+        (root / name).write_text(json.dumps(anno))
+    return str(root)
+
+
+def test_nlq_dataset_video_and_text_modes(nlq_root):
+    from egovlp_tpu.data.datasets import Ego4DNLQDataset, Ego4DMQDataset
+    from egovlp_tpu.data.datasets.base import DatasetConfig
+
+    base = dict(data_dir=nlq_root, meta_dir=nlq_root, split="val",
+                num_frames=4, pre_size=32)
+    vds = Ego4DNLQDataset(DatasetConfig(**base, subsample="video"))
+    assert len(vds) == 1  # one clip
+    item = vds.get(0, np.random.default_rng(0))
+    # dense window: ceil(2.5 s * 1.87 fps * 4 frames) >= 16 frames
+    assert item["frames"].shape[0] >= 16
+    assert item["meta"]["clip_uid"] == "clip0"
+
+    tds = Ego4DNLQDataset(DatasetConfig(**base, subsample="text"))
+    assert len(tds) == 2  # empty query dropped
+    assert tds.get(0, np.random.default_rng(0))["text"].startswith("where")
+
+    mq = Ego4DMQDataset(DatasetConfig(**base))
+    assert len(mq) == 1 and "frames" in mq.get(0, np.random.default_rng(0))
+
+
+def test_cli_extract_end_to_end(nlq_root, tmp_path):
+    """cli.extract video mode: config -> dense dataset -> micro-batched
+    features written per clip_uid (the NLQ/MQ episodic-memory pipeline)."""
+    import json as _json
+
+    from egovlp_tpu.cli.extract import main as extract_main
+
+    cfg = {
+        "name": "nlq_extract_test",
+        "task": "nlq",
+        "arch": {"type": "FrozenInTime", "args": {
+            "video_params": {"model": "SpaceTimeTransformer", "num_frames": 4,
+                             "img_size": 32, "patch_size": 16, "embed_dim": 24,
+                             "depth": 1, "num_heads": 2},
+            "text_params": {"vocab_size": 32, "dim": 24, "n_layers": 1,
+                            "n_heads": 2, "hidden_dim": 48,
+                            "max_position_embeddings": 16, "max_length": 8},
+            "projection": "minimal", "projection_dim": 8,
+            "load_checkpoint": "",
+        }},
+        "data_loader": {"type": "Loader", "args": {
+            "dataset_name": "Ego4D_NLQ",
+            "data_dir": nlq_root, "meta_dir": nlq_root,
+            "video_params": {"input_res": 32, "num_frames": 4,
+                             "pre_size": 32},
+        }},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(_json.dumps(cfg))
+    out = tmp_path / "feats"
+    extract_main(["--config", str(cfg_path), "--out", str(out),
+                  "--subsample", "video", "--split", "val"])
+    files = list(out.glob("*.npy"))
+    assert files, "no features written"
+    feats = np.load(files[0])
+    assert feats.ndim == 2 and feats.shape[1] == 8  # [windows, proj_dim]
