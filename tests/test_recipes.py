@@ -267,3 +267,40 @@ def test_cli_eval_epic_smoke(tiny_config, tmp_path):
     assert any("nDCG" in k for k in out)
     web = os.path.join(str(tmp_path / "epicres"), "web")
     assert os.path.isdir(web) and os.listdir(web), "no ranking report written"
+
+
+def test_cli_eval_oscc_smoke(tiny_config, tmp_path):
+    """cli.eval OSCC branch end-to-end (video-only head, accuracy metric)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from egovlp_tpu.cli.eval import main as eval_main
+    from tests.test_datasets import oscc_root  # noqa: F401
+
+    root = oscc_root.__wrapped__(
+        type("TF", (), {"mktemp": staticmethod(
+            lambda name: tmp_path / name)})())
+    cfg = dict(tiny_config)
+    cfg["task"] = "oscc"
+    arch = json.loads(json.dumps(cfg["arch"]))
+    arch["args"]["projection_dim"] = 2   # OSCC state-change head
+    arch["args"]["video_params"]["num_frames"] = 16  # OSCC is 16f fixed
+    cfg["arch"] = arch
+    cfg["data_loader"] = {
+        "type": "Loader",
+        "args": {
+            "dataset_name": "Ego4D_OSCC",
+            "data_dir": str(root), "meta_dir": str(root),
+            "batch_size": 2, "num_workers": 2,
+            "video_params": {"input_res": 32, "num_frames": 16,
+                             "pre_size": 32, "loading": "strict"},
+        },
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        eval_main(["--config", str(cfg_path), "--split", "val"])
+    text = buf.getvalue()
+    out = json.loads(text[text.rfind("\n{") + 1:] if "\n{" in text else text)
+    assert any("acc" in k.lower() for k in out), out
