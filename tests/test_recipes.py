@@ -304,3 +304,42 @@ def test_cli_eval_oscc_smoke(tiny_config, tmp_path):
     text = buf.getvalue()
     out = json.loads(text[text.rfind("\n{") + 1:] if "\n{" in text else text)
     assert any("acc" in k.lower() for k in out), out
+
+
+def test_cli_eval_pnr_smoke(tiny_config, tmp_path):
+    """cli.eval PNR branch end-to-end (keyframe head, keyframe-distance
+    metric over state-change clips only)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from egovlp_tpu.cli.eval import main as eval_main
+    from tests.test_datasets import oscc_root  # noqa: F401
+
+    root = oscc_root.__wrapped__(
+        type("TF", (), {"mktemp": staticmethod(
+            lambda name: tmp_path / name)})())
+    cfg = dict(tiny_config)
+    cfg["task"] = "pnr"
+    arch = json.loads(json.dumps(cfg["arch"]))
+    arch["args"]["projection_dim"] = 16   # PNR keyframe head
+    arch["args"]["video_params"]["num_frames"] = 16
+    cfg["arch"] = arch
+    cfg["data_loader"] = {
+        "type": "Loader",
+        "args": {
+            "dataset_name": "Ego4D_PNR",
+            "data_dir": str(root), "meta_dir": str(root),
+            "batch_size": 1, "num_workers": 2,
+            "video_params": {"input_res": 32, "num_frames": 16,
+                             "pre_size": 32, "loading": "strict"},
+        },
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        eval_main(["--config", str(cfg_path), "--split", "val"])
+    text = buf.getvalue()
+    out = json.loads(text[text.rfind("\n{") + 1:] if "\n{" in text else text)
+    assert any("err" in k.lower() or "dist" in k.lower() or "sec" in k.lower()
+               for k in out), out
