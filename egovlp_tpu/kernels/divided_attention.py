@@ -207,20 +207,9 @@ def divided_attention_parts(qc, kc, vc, qp, kp, vp, *, heads: int,
     if axis == "space":
         out_p = _space_bsd(heads, scale)(qg, kg, vg, kc, vc)
     else:
-        from egovlp_tpu.kernels.pallas_attention import (
-            _lane_block,
-            time_n_block,
-        )
-
-        lb = _lane_block(D, hd)
-        nb = time_n_block(frames, patches, lb, hd=hd)
-        n_pad = -(-patches // nb) * nb
-        if n_pad != patches:
-            pad = [(0, 0), (0, 0), (0, n_pad - patches), (0, 0)]
-            qg, kg, vg = (jnp.pad(t, pad) for t in (qg, kg, vg))
+        # the time kernel pads patch columns to its probed n-block
+        # internally (pallas_attention._time_fwd_bsd_call)
         out_p = _time_bsd(heads, scale)(qg, kg, vg, kc, vc)
-        if n_pad != patches:
-            out_p = out_p[:, :, :patches]
     return cls_out, out_p.reshape(B, Sp, D)
 
 
@@ -267,22 +256,6 @@ def divided_attention_bsd(q, k, v, *, heads: int, frames: int, patches: int,
     if axis == "space":
         out_p = _space_bsd(heads, scale)(qp, kp, vp, ck, cv)
     else:
-        # pad patches so the kernel's n-blocks tile evenly; zero columns
-        # yield uniform (finite) softmax rows and are sliced away, and
-        # autodiff of pad/slice keeps the custom VJP exact.
-        from egovlp_tpu.kernels.pallas_attention import (
-            _lane_block,
-            time_n_block,
-        )
-
-        lb = _lane_block(D, hd)
-        nb = time_n_block(frames, patches, lb, hd=hd)
-        n_pad = -(-patches // nb) * nb
-        if n_pad != patches:
-            pad = [(0, 0), (0, 0), (0, n_pad - patches), (0, 0)]
-            qp, kp, vp = (jnp.pad(t, pad) for t in (qp, kp, vp))
         out_p = _time_bsd(heads, scale)(qp, kp, vp, ck, cv)
-        if n_pad != patches:
-            out_p = out_p[:, :, :patches]
     out_p = out_p.reshape(B, frames * patches, D)
     return jnp.concatenate([cls_out, out_p], axis=1)

@@ -415,50 +415,165 @@ def _space_bsd_specs(L, lb):
     return blk, cls
 
 
+# --------------------------------------------------------------------------
+# GSPMD partitioning for the BSD kernels
+# --------------------------------------------------------------------------
+#
+# ``pallas_call`` lowers to an opaque custom call the SPMD partitioner
+# cannot split, so without help a dp/tp mesh either fails to partition or
+# silently replicates every attention site.  Each BSD kernel program is
+# embarrassingly parallel over (batch, lane-slice, group): wrapping the
+# fwd/bwd pallas calls in ``jax.experimental.custom_partitioning`` with an
+# einsum-style Shardy rule lets GSPMD shard them like any other batched op:
+#
+#   * batch dim        -> data parallelism (the production dp mesh);
+#   * minor (D) dim    -> head/tensor parallelism, accepted only when the
+#     local D still head- and lane-aligns (validated in `_mk_partition`);
+#   * group dim        -> sequence parallelism (frames for the space
+#     kernel, patch columns for the time forward; the time BACKWARD needs
+#     n replicated because its CLS gradients are reduced over n in-kernel).
+#
+# Attention lengths (space L, time f) are `need_replication` factors.  The
+# per-shard lowering is the plain local pallas call on shard shapes; no
+# collectives are needed inside the op.  Head width ``hd`` is threaded
+# explicitly (NOT derived from the possibly-sharded local D).
+
+
+def _dim_shards(mesh, entry) -> int:
+    if entry is None:
+        return 1
+    axes = entry if isinstance(entry, tuple) else (entry,)
+    n = 1
+    for a in axes:
+        n *= mesh.shape[a]
+    return n
+
+
+def _mk_partition(hd: int, local_fn, arg_dims, out_dims):
+    """custom_partitioning `partition` callback: canonicalize every
+    operand/result sharding from q's (batch, group, minor) specs.  Dim
+    roles: 'b' batch, 'g' group (shardable), 'l' attended length
+    (replicated), 'u' unit dim (replicated), 'd' minor/feature dim
+    (sharded only when the local slice stays head- and lane-aligned)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def partition(mesh, arg_shapes, result_shape):
+        q = arg_shapes[0]
+        spec = q.sharding.spec
+        roles = {"l": None, "u": None}
+        for i, r in enumerate(arg_dims[0]):
+            if r not in roles:
+                roles[r] = spec[i] if i < len(spec) else None
+        d_spec = roles.get("d")
+        if d_spec is not None:
+            D = q.shape[-1]
+            shards = _dim_shards(mesh, d_spec)
+            Dl = D // shards if D % shards == 0 else 0
+            ok = (Dl > 0 and Dl % hd == 0
+                  and (Dl % LANE != 0 or LANE % hd == 0))
+            if not ok:
+                roles["d"] = None
+
+        def sh(dims):
+            return NamedSharding(mesh, P(*(roles.get(r) for r in dims)))
+
+        arg_sh = tuple(sh(d) for d in arg_dims)
+        if isinstance(result_shape, (tuple, list)):
+            res_sh = tuple(sh(d) for d in out_dims)
+        else:
+            res_sh = sh(out_dims[0])
+        return mesh, local_fn, res_sh, arg_sh
+
+    return partition
+
+
+def _space_fwd_bsd_call(q, k, v, cls_k, cls_v, *, hd, scale):
+    B, G, L, D = q.shape
+    lb = _lane_block(D, hd)
+    blk, cls = _space_bsd_specs(L, lb)
+    return pl.pallas_call(
+        _mk_space_fwd_bsd(scale, hd, lb // hd),
+        grid=(B, D // lb, G),
+        in_specs=[blk, blk, blk, cls, cls],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((B, G, L, D), q.dtype),
+        interpret=_use_interpret(),
+    )(q, k, v, cls_k, cls_v)
+
+
+def _space_bwd_bsd_call(q, k, v, cls_k, cls_v, do, *, hd, scale):
+    B, G, L, D = q.shape
+    lb = _lane_block(D, hd)
+    blk, cls = _space_bsd_specs(L, lb)
+    cls_out = pl.BlockSpec((1, 1, 1, lb), lambda b, h, g: (b, g, 0, h),
+                           memory_space=pltpu.VMEM)
+    shapes = (
+        jax.ShapeDtypeStruct((B, G, L, D), q.dtype),
+        jax.ShapeDtypeStruct((B, G, L, D), q.dtype),
+        jax.ShapeDtypeStruct((B, G, L, D), q.dtype),
+        jax.ShapeDtypeStruct((B, G, 1, D), q.dtype),   # dck per group
+        jax.ShapeDtypeStruct((B, G, 1, D), q.dtype),   # dcv per group
+    )
+    return pl.pallas_call(
+        _mk_space_bwd_bsd(scale, hd, lb // hd),
+        grid=(B, D // lb, G),
+        in_specs=[blk, blk, blk, cls, cls, blk],
+        out_specs=(blk, blk, blk, cls_out, cls_out),
+        out_shape=shapes,
+        interpret=_use_interpret(),
+    )(q, k, v, cls_k, cls_v, do)
+
+
+import functools as _ft
+
+
+@_ft.lru_cache(maxsize=None)
+def _space_bsd_ops(hd: int, scale: float):
+    """(fwd, bwd) space-kernel callables partitioned for GSPMD meshes."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    def fwd_fn(q, k, v, ck, cv):
+        return _space_fwd_bsd_call(q, k, v, ck, cv, hd=hd, scale=scale)
+
+    blk4, cls3, cls4 = ("b", "g", "l", "d"), ("b", "u", "d"), ("b", "g", "u", "d")
+    fwd = custom_partitioning(fwd_fn)
+    fwd.def_partition(
+        _mk_partition(hd, fwd_fn, (blk4,) * 3 + (cls3,) * 2, (blk4,)),
+        sharding_rule="b g l d, b g l d, b g l d, b u d, b u d -> b g l d",
+        need_replication_factors=("l", "u"),
+    )
+
+    def bwd_fn(q, k, v, ck, cv, do):
+        return _space_bwd_bsd_call(q, k, v, ck, cv, do, hd=hd, scale=scale)
+
+    bwd = custom_partitioning(bwd_fn)
+    bwd.def_partition(
+        _mk_partition(hd, bwd_fn, (blk4,) * 3 + (cls3,) * 2 + (blk4,),
+                      (blk4,) * 3 + (cls4,) * 2),
+        sharding_rule=("b g l d, b g l d, b g l d, b u d, b u d, b g l d"
+                       " -> b g l d, b g l d, b g l d, b g u d, b g u d"),
+        need_replication_factors=("l", "u"),
+    )
+    return fwd, bwd
+
+
 def make_space_attention_bsd(heads: int, scale: float):
     @jax.custom_vjp
     def fn(q, k, v, cls_k, cls_v):
-        B, G, L, D = q.shape
-        hd = D // heads
-        lb = _lane_block(D, hd)
-        hpb = lb // hd
-        blk, cls = _space_bsd_specs(L, lb)
-        return pl.pallas_call(
-            _mk_space_fwd_bsd(scale, hd, hpb),
-            grid=(B, D // lb, G),
-            in_specs=[blk, blk, blk, cls, cls],
-            out_specs=blk,
-            out_shape=jax.ShapeDtypeStruct((B, G, L, D), q.dtype),
-            interpret=_use_interpret(),
-        )(q, k, v, cls_k, cls_v)
+        hd = q.shape[-1] // heads
+        return _space_bsd_ops(hd, scale)[0](q, k, v, cls_k, cls_v)
 
     def fwd(q, k, v, cls_k, cls_v):
         return fn(q, k, v, cls_k, cls_v), (q, k, v, cls_k, cls_v)
 
     def bwd(res, do):
         q, k, v, cls_k, cls_v = res
-        B, G, L, D = q.shape
-        hd = D // heads
-        lb = _lane_block(D, hd)
-        hpb = lb // hd
-        blk, cls = _space_bsd_specs(L, lb)
-        cls_out = pl.BlockSpec((1, 1, 1, lb), lambda b, h, g: (b, g, 0, h),
-                               memory_space=pltpu.VMEM)
-        shapes = (
-            jax.ShapeDtypeStruct((B, G, L, D), q.dtype),
-            jax.ShapeDtypeStruct((B, G, L, D), q.dtype),
-            jax.ShapeDtypeStruct((B, G, L, D), q.dtype),
-            jax.ShapeDtypeStruct((B, G, 1, D), q.dtype),
-            jax.ShapeDtypeStruct((B, G, 1, D), q.dtype),
-        )
-        dq, dk, dv, dck_g, dcv_g = pl.pallas_call(
-            _mk_space_bwd_bsd(scale, hd, hpb),
-            grid=(B, D // lb, G),
-            in_specs=[blk, blk, blk, cls, cls, blk],
-            out_specs=(blk, blk, blk, cls_out, cls_out),
-            out_shape=shapes,
-            interpret=_use_interpret(),
-        )(q, k, v, cls_k, cls_v, do)
+        hd = q.shape[-1] // heads
+        dq, dk, dv, dck_g, dcv_g = _space_bsd_ops(hd, scale)[1](
+            q, k, v, cls_k, cls_v, do)
+        # CLS k/v are shared across groups -> sum their per-group grads
+        # (outside the partitioned op: under a group-sharded mesh GSPMD
+        # turns this into the reduce over shards)
         return dq, dk, dv, jnp.sum(dck_g, axis=1), jnp.sum(dcv_g, axis=1)
 
     fn.defvjp(fwd, bwd)
@@ -813,54 +928,118 @@ def time_n_block(f: int, n: int, lb: int, itemsize: int = 2,
     return nb
 
 
+def _pad_n(t, n_pad, n):
+    if n_pad == n:
+        return t
+    return jnp.pad(t, [(0, 0), (0, 0), (0, n_pad - n), (0, 0)])
+
+
+def _time_fwd_bsd_call(q, k, v, cls_k, cls_v, *, hd, scale):
+    """Local time-attention forward on any n: pads patch columns to the
+    probed n-block (zero columns yield uniform finite softmax rows and are
+    sliced away)."""
+    B, f, n, D = q.shape
+    lb = _lane_block(D, hd)
+    nb = time_n_block(f, n, lb, hd=hd)
+    n_pad = -(-n // nb) * nb
+    q, k, v = (_pad_n(t, n_pad, n) for t in (q, k, v))
+    blk, cls = _time_bsd_specs(f, nb, lb)
+    out = pl.pallas_call(
+        _mk_time_fwd_bsd(scale, hd, lb // hd),
+        grid=(B, D // lb, n_pad // nb),
+        in_specs=[blk, blk, blk, cls, cls],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((B, f, n_pad, D), q.dtype),
+        interpret=_use_interpret(),
+    )(q, k, v, cls_k, cls_v)
+    return out[:, :, :n] if n_pad != n else out
+
+
+def _time_bwd_bsd_call(q, k, v, cls_k, cls_v, do, *, hd, scale):
+    """Local time-attention backward; returns (dq, dk, dv, dck [B,1,D],
+    dcv [B,1,D]) with the CLS grads already reduced over the n-blocks (pad
+    columns have zero q/k/v/do, so they contribute exact zeros)."""
+    B, f, n, D = q.shape
+    lb = _lane_block(D, hd)
+    nb = time_n_block(f, n, lb, hd=hd)
+    n_pad = -(-n // nb) * nb
+    q, k, v, do = (_pad_n(t, n_pad, n) for t in (q, k, v, do))
+    blk, cls = _time_bsd_specs(f, nb, lb)
+    cls_out = pl.BlockSpec((1, 1, 1, lb), lambda b, h, j: (b, j, 0, h),
+                           memory_space=pltpu.VMEM)
+    shapes = (
+        jax.ShapeDtypeStruct((B, f, n_pad, D), q.dtype),
+        jax.ShapeDtypeStruct((B, f, n_pad, D), q.dtype),
+        jax.ShapeDtypeStruct((B, f, n_pad, D), q.dtype),
+        jax.ShapeDtypeStruct((B, n_pad // nb, 1, D), q.dtype),  # per n-block
+        jax.ShapeDtypeStruct((B, n_pad // nb, 1, D), q.dtype),
+    )
+    dq, dk, dv, dck_j, dcv_j = pl.pallas_call(
+        _mk_time_bwd_bsd(scale, hd, lb // hd),
+        grid=(B, D // lb, n_pad // nb),
+        in_specs=[blk, blk, blk, cls, cls, blk],
+        out_specs=(blk, blk, blk, cls_out, cls_out),
+        out_shape=shapes,
+        interpret=_use_interpret(),
+    )(q, k, v, cls_k, cls_v, do)
+    if n_pad != n:
+        dq, dk, dv = (t[:, :, :n] for t in (dq, dk, dv))
+    return dq, dk, dv, jnp.sum(dck_j, axis=1), jnp.sum(dcv_j, axis=1)
+
+
+@_ft.lru_cache(maxsize=None)
+def _time_bsd_ops(hd: int, scale: float):
+    """(fwd, bwd) time-kernel callables partitioned for GSPMD meshes.
+
+    The forward shards over (batch, patch columns, lanes); the backward
+    only over (batch, lanes) — its CLS gradients are reduced over n inside
+    the local call, so n must be whole per shard (a mixed passthrough/
+    reduction factor is not expressible in one Shardy rule).  Under
+    n-sharded sequence parallelism GSPMD therefore gathers n for the
+    backward pass only."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    def fwd_fn(q, k, v, ck, cv):
+        return _time_fwd_bsd_call(q, k, v, ck, cv, hd=hd, scale=scale)
+
+    blk4, cls3 = ("b", "f", "n", "d"), ("b", "u", "d")
+    fwd = custom_partitioning(fwd_fn)
+    fwd.def_partition(
+        _mk_partition(hd, fwd_fn, (blk4,) * 3 + (cls3,) * 2, (blk4,)),
+        sharding_rule="b f n d, b f n d, b f n d, b u d, b u d -> b f n d",
+        need_replication_factors=("f", "u"),
+    )
+
+    def bwd_fn(q, k, v, ck, cv, do):
+        return _time_bwd_bsd_call(q, k, v, ck, cv, do, hd=hd, scale=scale)
+
+    bwd_blk = ("b", "f", "n", "d")
+    bwd = custom_partitioning(bwd_fn)
+    bwd.def_partition(
+        _mk_partition(hd, bwd_fn, (bwd_blk,) * 3 + (cls3,) * 2 + (bwd_blk,),
+                      (bwd_blk,) * 3 + (cls3,) * 2),
+        sharding_rule=("b f n d, b f n d, b f n d, b u d, b u d, b f n d"
+                       " -> b f n d, b f n d, b f n d, b u d, b u d"),
+        # note: special factors must be listed in first-appearance order
+        # (the Shardy verifier requires their indices sorted)
+        need_replication_factors=("f", "n", "u"),
+    )
+    return fwd, bwd
+
+
 def make_time_attention_bsd(heads: int, scale: float):
     @jax.custom_vjp
     def fn(q, k, v, cls_k, cls_v):
-        B, f, n, D = q.shape
-        hd = D // heads
-        lb = _lane_block(D, hd)
-        hpb = lb // hd
-        nb = time_n_block(f, n, lb, hd=hd)
-        blk, cls = _time_bsd_specs(f, nb, lb)
-        return pl.pallas_call(
-            _mk_time_fwd_bsd(scale, hd, hpb),
-            grid=(B, D // lb, n // nb),
-            in_specs=[blk, blk, blk, cls, cls],
-            out_specs=blk,
-            out_shape=jax.ShapeDtypeStruct((B, f, n, D), q.dtype),
-            interpret=_use_interpret(),
-        )(q, k, v, cls_k, cls_v)
+        hd = q.shape[-1] // heads
+        return _time_bsd_ops(hd, scale)[0](q, k, v, cls_k, cls_v)
 
     def fwd(q, k, v, cls_k, cls_v):
         return fn(q, k, v, cls_k, cls_v), (q, k, v, cls_k, cls_v)
 
     def bwd(res, do):
         q, k, v, cls_k, cls_v = res
-        B, f, n, D = q.shape
-        hd = D // heads
-        lb = _lane_block(D, hd)
-        hpb = lb // hd
-        nb = time_n_block(f, n, lb, hd=hd)
-        blk, cls = _time_bsd_specs(f, nb, lb)
-        cls_out = pl.BlockSpec((1, 1, 1, lb), lambda b, h, j: (b, j, 0, h),
-                               memory_space=pltpu.VMEM)
-        shapes = (
-            jax.ShapeDtypeStruct((B, f, n, D), q.dtype),
-            jax.ShapeDtypeStruct((B, f, n, D), q.dtype),
-            jax.ShapeDtypeStruct((B, f, n, D), q.dtype),
-            jax.ShapeDtypeStruct((B, n // nb, 1, D), q.dtype),  # per n-block
-            jax.ShapeDtypeStruct((B, n // nb, 1, D), q.dtype),
-        )
-        dq, dk, dv, dck_j, dcv_j = pl.pallas_call(
-            _mk_time_bwd_bsd(scale, hd, hpb),
-            grid=(B, D // lb, n // nb),
-            in_specs=[blk, blk, blk, cls, cls, blk],
-            out_specs=(blk, blk, blk, cls_out, cls_out),
-            out_shape=shapes,
-            interpret=_use_interpret(),
-        )(q, k, v, cls_k, cls_v, do)
-        # cls grads accumulate over the n-blocks outside the kernel
-        return dq, dk, dv, jnp.sum(dck_j, axis=1), jnp.sum(dcv_j, axis=1)
+        hd = q.shape[-1] // heads
+        return _time_bsd_ops(hd, scale)[1](q, k, v, cls_k, cls_v, do)
 
     fn.defvjp(fwd, bwd)
     return fn

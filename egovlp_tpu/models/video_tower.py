@@ -53,15 +53,23 @@ class VideoTowerConfig:
     # attention with the Pallas kernel on TPU (time-axis groups are tiny and
     # stay on XLA); 'xla' / 'pallas' force one implementation for both axes.
     attention_impl: str = "auto"
-    # rematerialize each block in the backward pass (jax.checkpoint):
-    # trades ~30% extra FLOPs for O(depth) less activation memory — lets
-    # 16-frame fine-tuning batches grow well past the reference's bs 4/GPU.
-    remat: bool = False
+    # rematerialization (jax.checkpoint) for the backward pass:
+    #   False/'none' — save all activations;
+    #   True/'block' — remat each whole block: ~one fwd of extra FLOPs,
+    #     O(depth) less activation memory (the r2 16f default);
+    #   'mlp'        — remat only each block's MLP (the largest single
+    #     activation producer: 4x-wide hidden) — cheaper recompute than
+    #     'block' at most of the memory win;
+    #   'attn'       — remat only the two attention applications.
+    # Measured on the 16f EPIC fine-tune shape: see bench.py ft16 field
+    # and scripts/remat_ab.py.
+    remat: "bool | str" = False
     # Ulysses-style sequence/context parallelism (core/sp.py): name of the
     # mesh axis to shard the token grid over — patch columns during time
     # attention, frames during space attention; GSPMD inserts one
-    # all-to-all between the phases.  Requires attention_impl='xla'
-    # (pallas_call has no GSPMD partition rule).  None = off.
+    # all-to-all between the phases.  Composes with every attention_impl:
+    # the Pallas kernels carry Shardy partition rules that keep the
+    # sp-sharded grid axis local (kernels/pallas_attention.py).  None = off.
     sequence_parallel: "str | None" = None
 
     @property
@@ -76,7 +84,8 @@ class Mlp(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True):
+        # (deterministic is positional so nn.remat can mark it static)
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
@@ -104,11 +113,12 @@ class VarAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, frames: int, patches: int, axis: str,
+    def __call__(self, x, frames: int, patches: int, axis: str,
                  deterministic: bool = True):
         """``x`` is the ``(cls [B,1,D], patches [B,F*N,D])`` activation pair
         (see SpaceTimeBlock); shared Dense modules are applied to both parts
-        so the parameter tree is identical to a concatenated layout."""
+        so the parameter tree is identical to a concatenated layout.  All
+        non-array args are positional so nn.remat can mark them static."""
         xc, xp = x
         D = xp.shape[-1]
         H = self.num_heads
@@ -187,41 +197,49 @@ class SpaceTimeBlock(nn.Module):
             time_impl = "xla"
         else:
             space_impl = time_impl = cfg.attention_impl
-        if cfg.sequence_parallel:
-            # sharded tokens must flow through partitionable ops
-            space_impl = time_impl = "xla"
+        # sequence parallelism no longer forces the XLA op: the Pallas
+        # kernels carry Shardy partition rules (pallas_attention.py) that
+        # keep the sp-sharded grid axis local — frames for the space
+        # kernel, patch columns for the time forward (the time backward
+        # gathers n; see _time_bsd_ops).
 
-        time_out = VarAttention(
+        # selective remat: wrap ONLY the chosen submodule(s); 'block'-level
+        # remat is applied by SpaceTimeTransformer around the whole block
+        attn_cls = VarAttention
+        mlp_cls = Mlp
+        if cfg.remat == "attn":
+            attn_cls = nn.remat(VarAttention, static_argnums=(2, 3, 4, 5))
+        elif cfg.remat == "mlp":
+            mlp_cls = nn.remat(Mlp, static_argnums=(2,))
+
+        time_out = attn_cls(
             cfg.embed_dim, cfg.num_heads, qkv_bias=cfg.qkv_bias,
             zero_init=(cfg.time_init == "zeros"), proj_drop=cfg.drop_rate,
             impl=time_impl, sp_axis=cfg.sequence_parallel,
             dtype=self.dtype, name="timeattn",
-        )(both(ln("norm3"), x), frames=frames, patches=patches, axis="time",
-          deterministic=deterministic)
+        )(both(ln("norm3"), x), frames, patches, "time", deterministic)
         time_residual = add(x, time_out)
 
-        space_out = VarAttention(
+        space_out = attn_cls(
             cfg.embed_dim, cfg.num_heads, qkv_bias=cfg.qkv_bias,
             proj_drop=cfg.drop_rate, impl=space_impl,
             sp_axis=cfg.sequence_parallel,
             dtype=self.dtype, name="attn",
-        )(both(ln("norm1"), time_residual), frames=frames, patches=patches,
-          axis="space", deterministic=deterministic)
+        )(both(ln("norm1"), time_residual), frames, patches, "space",
+          deterministic)
 
         space_out = self._drop_path(space_out, deterministic)
         # Frozen-in-time quirk: residual from the ORIGINAL x, not from
         # time_residual (reference :170-171).  Checkpoint parity requires it.
         space_residual = add(x, space_out)
 
-        mlp = Mlp(
+        mlp = mlp_cls(
             int(cfg.embed_dim * cfg.mlp_ratio), cfg.embed_dim,
             dropout=cfg.drop_rate, dtype=self.dtype, name="mlp",
         )
         norm2 = ln("norm2")
-        mlp_out = (mlp(norm2(space_residual[0]),
-                       deterministic=deterministic),
-                   mlp(norm2(space_residual[1]),
-                       deterministic=deterministic))
+        mlp_out = (mlp(norm2(space_residual[0]), deterministic),
+                   mlp(norm2(space_residual[1]), deterministic))
         return add(space_residual, self._drop_path(mlp_out, deterministic))
 
     def _drop_path(self, pair, deterministic):
@@ -319,7 +337,7 @@ class SpaceTimeTransformer(nn.Module):
 
         dpr = [float(r) for r in np.linspace(0.0, cfg.drop_path_rate, cfg.depth)]
         block_cls = SpaceTimeBlock
-        if cfg.remat:
+        if cfg.remat in (True, "block"):
             block_cls = nn.remat(SpaceTimeBlock, static_argnums=(2, 3, 4))
         for i in range(cfg.depth):
             pair = block_cls(

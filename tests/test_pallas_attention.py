@@ -298,3 +298,39 @@ def test_time_bsd_batched_body_matches_xla(rng):
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_time_bsd_batched_body_blocked_n_matches_xla(rng, monkeypatch):
+    """ADVICE r2: the fi-BATCHED (f>=8) backward with MULTIPLE n-blocks —
+    per-j dck/dcv block writes plus padded tail rows — exercised
+    numerically in interpret mode (nb forced to 8 so n=12 pads to 16)."""
+    import importlib
+
+    import egovlp_tpu.kernels.pallas_attention as pa
+
+    da = importlib.import_module("egovlp_tpu.kernels.divided_attention")
+    monkeypatch.setattr(pa, "time_n_block", lambda f, n, lb, **kw: 8)
+    da._time_bsd.cache_clear()
+    pa._time_bsd_ops.cache_clear()
+
+    B, H, f, n, hd = 1, 2, 8, 12, 16
+    D, S = H * hd, 1 + f * n
+    q, k, v = (jnp.asarray(rng.normal(size=(B, S, D)), jnp.float32)
+               for _ in range(3))
+
+    def loss(impl):
+        def fn(q, k, v):
+            out = da.divided_attention_bsd(q, k, v, heads=H, frames=f,
+                                           patches=n, axis="time", impl=impl)
+            return jnp.sum(out ** 2)
+
+        return fn
+
+    vp, gp = jax.value_and_grad(loss("pallas"), argnums=(0, 1, 2))(q, k, v)
+    vx, gx = jax.value_and_grad(loss("xla"), argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(float(vp), float(vx), rtol=1e-5)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+    da._time_bsd.cache_clear()
+    pa._time_bsd_ops.cache_clear()
