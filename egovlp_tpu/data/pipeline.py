@@ -249,7 +249,12 @@ class Loader:
             # black-frame substitute, base_dataset.py:109-115, but keeps
             # valid pixel statistics for contrastive batches)
             items = [x if x is not None else ok[0] for x in items]
-            yield collate(items, self.tokenizer)
+            batch = collate(items, self.tokenizer)
+            # global dataset index of each row: the distributed-eval gather
+            # (core/dist_eval.py) uses it to drop shard-pad duplicates and
+            # restore dataset order across processes
+            batch["_index"] = np.asarray([i for i, _ in futs], np.int64)
+            yield batch
 
     def _item_result(self, item_idx, fut):
         """Future result with the straggler policy: under loading='lax' a

@@ -43,13 +43,23 @@ def evaluate_charades(model, params, loader, class_sentences: List[str],
         import tqdm
 
         it = tqdm.tqdm(it, total=len(loader))
+    idxs = []
     for batch in it:
         v = video_embed(model.apply, params, batch["frames"])
         vids.append(np.asarray(v))
         targets.append(np.asarray(batch["target"]))
         paths.extend(batch.get("path", [""] * len(np.asarray(v))))
-    vid_embeds = np.concatenate(vids)
-    targets = np.concatenate(targets)
+        idxs.append(np.asarray(batch["_index"]))
+
+    # multi-process: gather all shards before the 157-class mAP
+    # (reference trainer_charades.py:211-230 allgathers preds/gts)
+    from egovlp_tpu.core.dist_eval import gather_eval
+
+    g, gobj = gather_eval(
+        {"vids": np.concatenate(vids), "targets": np.concatenate(targets)},
+        index=np.concatenate(idxs), objects={"paths": paths},
+    )
+    vid_embeds, targets, paths = g["vids"], g["targets"], gobj["paths"]
 
     import jax.numpy as jnp
 

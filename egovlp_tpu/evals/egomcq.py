@@ -43,8 +43,12 @@ def _mcq_scores(apply_fn, params, batch, input_res: int):
 def evaluate_egomcq(model, params, loader, input_res: int = 224,
                     progress: bool = False) -> Dict[str, float]:
     """loader yields batches with frames_options/text_ids/text_mask/
-    correct/type."""
-    preds, gts, types = [], [], []
+    correct/type.  Multi-process runs gather every process's scores before
+    the metric (reference trainer_egoclip.py:224-234), so all hosts report
+    full-dataset accuracies."""
+    from egovlp_tpu.core.dist_eval import gather_eval
+
+    preds, gts, types, idxs = [], [], [], []
     it = loader.epoch(0)
     if progress:
         import tqdm
@@ -59,6 +63,10 @@ def evaluate_egomcq(model, params, loader, input_res: int = 224,
         preds.append(np.asarray(scores))
         gts.append(np.asarray(batch["correct"]))
         types.append(np.asarray(batch["type"]))
-    return egomcq_accuracy_metrics(
-        np.concatenate(preds), np.concatenate(gts), np.concatenate(types)
+        idxs.append(np.asarray(batch["_index"]))
+    g, _ = gather_eval(
+        {"preds": np.concatenate(preds), "gts": np.concatenate(gts),
+         "types": np.concatenate(types)},
+        index=np.concatenate(idxs),
     )
+    return egomcq_accuracy_metrics(g["preds"], g["gts"], g["types"])

@@ -99,11 +99,19 @@ def embed_dataset(model, params, loader, input_res: int = 224,
         idx_all.append(np.asarray(batch["item_v"]))
         texts.extend(batch.get("text", [""] * len(t)))
         paths.extend(batch.get("path", [""] * len(t)))
-    order = np.argsort(np.concatenate(idx_all))
-    out = (np.concatenate(t_all)[order], np.concatenate(v_all)[order],
-           np.concatenate(idx_all)[order])
+
+    # multi-process: gather every process's shard before assembling the
+    # global (text x video) matrix (reference trainer_epic.py:211-225);
+    # item_v indices drop shard pads and restore dataset order
+    from egovlp_tpu.core.dist_eval import gather_eval
+
+    g, gobj = gather_eval(
+        {"t": np.concatenate(t_all), "v": np.concatenate(v_all),
+         "idx": np.concatenate(idx_all)},
+        index=np.concatenate(idx_all),
+        objects={"texts": texts, "paths": paths},
+    )
+    out = (g["t"], g["v"], g["idx"])
     if return_meta:
-        meta = {"texts": [texts[i] for i in order],
-                "paths": [paths[i] for i in order]}
-        return out + (meta,)
+        return out + ({"texts": gobj["texts"], "paths": gobj["paths"]},)
     return out

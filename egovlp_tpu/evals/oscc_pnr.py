@@ -16,8 +16,13 @@ from egovlp_tpu.train.steps import make_video_embed_step
 
 
 def _collect_logits(model, params, loader, input_res, keys, progress=False):
+    """Per-shard logits + label columns, gathered across processes before
+    the metric (reference trainer_pnr.py:449-455 allgathers preds/gts)."""
+    from egovlp_tpu.core.dist_eval import gather_eval
+
     video_embed = make_video_embed_step(input_res)
     logits, extras = [], {k: [] for k in keys}
+    idxs = []
     it = loader.epoch(0)
     if progress:
         import tqdm
@@ -29,8 +34,11 @@ def _collect_logits(model, params, loader, input_res, keys, progress=False):
         ))
         for k in keys:
             extras[k].append(np.asarray(batch[k]))
-    return (np.concatenate(logits),
-            {k: np.concatenate(v) for k, v in extras.items()})
+        idxs.append(np.asarray(batch["_index"]))
+    cols = {"logits": np.concatenate(logits)}
+    cols.update({k: np.concatenate(v) for k, v in extras.items()})
+    g, _ = gather_eval(cols, index=np.concatenate(idxs))
+    return g.pop("logits"), g
 
 
 def evaluate_oscc(model, params, loader, input_res: int = 224,

@@ -50,6 +50,19 @@ if mode == "loader":
     print(f"LOSS={loss:.6f}", flush=True)
     sys.exit(0)
 
+if mode == "eval":
+    # distributed evaluation: each process evaluates only its loader shard
+    # (10 items over N processes -> uneven + padded shards); the eval's
+    # internal cross-process gather (core/dist_eval.py) must make every
+    # process report the FULL-dataset metric
+    import json
+
+    from synth_ds import oscc_eval_metrics
+
+    m = oscc_eval_metrics(rank, nprocs)
+    print(f"METRICS={json.dumps(m, sort_keys=True)}", flush=True)
+    sys.exit(0)
+
 from egovlp_tpu.models import (
     DualEncoder,
     DualEncoderConfig,

@@ -114,3 +114,38 @@ def first_batch_loss(mesh, *, shards, num_shards: int,
     with mesh:
         _, loss = step(state, global_batch, jax.random.PRNGKey(0))
     return float(loss)
+
+
+class SynthOSCCDataset:
+    """Tiny video-classification eval dataset (n=10 deliberately NOT a
+    multiple of typical shard counts, so non-drop_last sharding pads and
+    the distributed-eval gather must dedupe)."""
+
+    def __init__(self, n: int = 10):
+        self.n = n
+        self.cfg = DatasetConfig(split="test", num_frames=FRAMES,
+                                 pre_size=RES)
+
+    def __len__(self):
+        return self.n
+
+    def get(self, idx: int, rng: np.random.Generator):
+        g = np.random.default_rng(2000 + idx)
+        return {
+            "frames": g.integers(0, 255, (FRAMES, RES, RES, 3)).astype(
+                np.uint8),
+            "state": np.int32(idx % 2),
+        }
+
+
+def oscc_eval_metrics(shard: int, num_shards: int) -> dict:
+    """Run evaluate_oscc over this process's shard of the synthetic
+    dataset; multi-process runs gather across shards inside the eval."""
+    from egovlp_tpu.data.pipeline import Loader
+    from egovlp_tpu.evals.oscc_pnr import evaluate_oscc
+
+    model, params = tiny_dual_encoder()
+    loader = Loader(SynthOSCCDataset(), batch_size=3, shuffle=False,
+                    drop_last=False, num_workers=2, shard=shard,
+                    num_shards=num_shards)
+    return evaluate_oscc(model, params, loader, input_res=RES)
