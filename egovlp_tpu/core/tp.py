@@ -14,9 +14,13 @@ Rules (Megatron-style column->row pairs, boundaries head-aligned):
                out_lin            row-parallel    (input dim sharded)
                ffn_lin1 / _lin2   column / row
   video tower  mlp fc1 / fc2      column / row
-               attn/timeattn qkv  REPLICATED — the fused [q|k|v] output
-               concat (timm layout) misaligns with a 2-way split of the
-               3D axis, so sharding it would only buy resharding traffic.
+               attn/timeattn qkv  column-parallel (fused [q|k|v] output
+               dim sharded contiguously; the timm layout means a 2-way
+               split lands mid-q/k/v, which is semantically safe under
+               GSPMD — it re-partitions at the jnp.split — though not
+               head-interleaved; the largest attention param/compute
+               share now really splits across the model axis)
+               attn/timeattn proj row-parallel
 
 Everything else (embeddings, layernorms, projections, cls/pos tokens) is
 replicated.  The same name rules apply to the optimizer state: Adam's
@@ -32,8 +36,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from egovlp_tpu.core.mesh import MODEL_AXIS
 
-_COLUMN = ("fc1", "ffn_lin1", "q_lin", "k_lin", "v_lin")
-_ROW = ("fc2", "ffn_lin2", "out_lin")
+_COLUMN = ("fc1", "ffn_lin1", "q_lin", "k_lin", "v_lin", "qkv")
+_ROW = ("fc2", "ffn_lin2", "out_lin", "proj")
 
 
 def _path_names(path) -> list:
