@@ -146,3 +146,32 @@ def test_remat_matches_plain(rng):
         # recompute reorders f32 reductions; allow tiny drift
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=1e-3, atol=2e-4)
+
+
+def test_remat_variants_match(rng):
+    """Selective remat ('mlp'/'attn') and block remat must not change
+    fwd/bwd numerics or the param tree (the converter contract)."""
+    import jax
+    import jax.numpy as jnp
+
+    from egovlp_tpu.models import SpaceTimeTransformer, VideoTowerConfig
+
+    video = jnp.asarray(rng.normal(size=(2, 4, 32, 32, 3)), jnp.float32)
+    ref_loss = ref_tree = None
+    for rm in (False, "block", "mlp", "attn"):
+        cfg = VideoTowerConfig(img_size=32, patch_size=16, embed_dim=24,
+                               depth=2, num_heads=2, num_frames=4, remat=rm,
+                               attention_impl="xla")
+        m = SpaceTimeTransformer(cfg)
+        p = m.init(jax.random.PRNGKey(0), video)
+        tree = jax.tree_util.tree_structure(p)
+        loss = float(jnp.sum(m.apply(p, video) ** 2))
+        g = jax.grad(lambda p: jnp.sum(m.apply(p, video) ** 2))(p)
+        gsum = float(sum(jnp.sum(jnp.abs(l))
+                         for l in jax.tree_util.tree_leaves(g)))
+        if ref_loss is None:
+            ref_loss, ref_tree, ref_gsum = loss, tree, gsum
+        else:
+            assert tree == ref_tree, rm
+            assert loss == pytest.approx(ref_loss, rel=1e-5), rm
+            assert gsum == pytest.approx(ref_gsum, rel=1e-3), rm
