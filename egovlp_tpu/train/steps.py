@@ -22,6 +22,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
+from egovlp_tpu.core.mesh import DATA_AXIS
 from egovlp_tpu.data.transforms import eval_resize, random_resized_crop_flip
 from egovlp_tpu.models.dual_encoder import sim_matrix
 from egovlp_tpu.objectives import (
@@ -69,7 +70,13 @@ def _transform_eval(frames, res):
 
 def make_egoclip_train_step(loss_type: str = "EgoNCE", input_res: int = 224,
                             temperature: float = 0.05, noun: bool = True,
-                            verb: bool = True):
+                            verb: bool = True, global_sim: str = "gather"):
+    """``global_sim``: 'gather' (default) computes the full similarity on
+    logically-global embeddings (GSPMD all-gathers; the reference's
+    AllGather_multi semantics); 'ring' keeps only [local, G] row blocks
+    per chip via a shard_map'd ppermute ring (objectives/ring.py) — same
+    loss, O(G^2/n_chips) less resident memory at pod-scale batches.
+    'ring' falls back to 'gather' when no data-axis mesh is active."""
     @jax.jit
     def step(state, batch, rng):
         frames = batch["frames"]
@@ -93,6 +100,22 @@ def make_egoclip_train_step(loss_type: str = "EgoNCE", input_res: int = 224,
                 {"params": params}, video, ids, mask, deterministic=False,
                 rngs={"dropout": d_rng},
             )
+            mesh = jax.sharding.get_abstract_mesh()
+            if (global_sim == "ring" and mesh is not None
+                    and DATA_AXIS in getattr(mesh, "shape", {})):
+                from jax.sharding import PartitionSpec as P
+
+                from egovlp_tpu.objectives.ring import egoclip_ring_loss
+
+                body = functools.partial(
+                    egoclip_ring_loss, loss_type=loss_type,
+                    temperature=temperature, noun=noun, verb=verb,
+                    axis_name=DATA_AXIS)
+                return jax.shard_map(
+                    body, mesh=mesh,
+                    in_specs=(P(DATA_AXIS),) * 4, out_specs=P(),
+                    check_vma=False,
+                )(t, v, noun_vec, verb_vec)
             sim = sim_matrix(t, v)
             if loss_type == "EgoNCE":
                 sim_v = sim_matrix(verb_vec, verb_vec)

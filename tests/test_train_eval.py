@@ -182,3 +182,24 @@ def test_checkpoint_async_save_roundtrip(tmp_path, tiny_model):
     leaf = jax.tree_util.tree_leaves(restored["params"])[0]
     leaf0 = jax.tree_util.tree_leaves(state.params)[0]
     np.testing.assert_array_equal(np.asarray(leaf), np.asarray(leaf0))
+
+
+def test_egomcq_eval_batched_matches_batch1(egoclip_root, vocab_file,  # noqa: F811
+                                            tiny_model):  # noqa: F811
+    """The 5-option batch-axis fold makes larger eval batches exact: the
+    default val batch 8 (train/recipes.py) must reproduce the reference's
+    batch-1 scores bit-for-bit at the metric level."""
+    from egovlp_tpu.evals.egomcq import evaluate_egomcq
+
+    model, params = tiny_model
+    tok = WordPieceTokenizer(vocab_file, max_length=8)
+    ds = EgoMCQDataset(DatasetConfig(data_dir=egoclip_root, split="val",
+                                     num_frames=4, pre_size=RES))
+
+    def run(bs):
+        loader = Loader(ds, batch_size=bs, tokenizer=tok, num_workers=1,
+                        shuffle=False, drop_last=False)
+        return evaluate_egomcq(model, params, loader, input_res=RES)
+
+    m1, m8 = run(1), run(8)
+    assert m1 == pytest.approx(m8), (m1, m8)
