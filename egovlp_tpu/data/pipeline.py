@@ -126,7 +126,9 @@ class Loader:
                  drop_last: bool = True, shard: int = 0, num_shards: int = 1,
                  max_samples_per_epoch: Optional[int] = None,
                  item_timeout: Optional[float] = None,
-                 num_procs: int = 0):
+                 num_procs: int = 0,
+                 validation_split: "float | int" = 0.0,
+                 subset: Optional[np.ndarray] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.tokenizer = tokenizer
@@ -151,6 +153,43 @@ class Loader:
         # the next epoch boundary instead of silently starving
         self._abandoned = 0
 
+        # random train/val split of ONE dataset (the reference
+        # BaseDataLoader's validation_split sampler,
+        # base_data_loader.py:29-54): a fixed seed-0 permutation assigns
+        # the first `len_valid` indices to validation, the rest to this
+        # loader; `split_validation()` returns the val-side Loader.
+        self._valid_subset = None
+        self.subset = subset
+        if validation_split:
+            if subset is not None:
+                raise ValueError("validation_split and subset are exclusive")
+            n = len(dataset)
+            len_valid = (int(validation_split) if validation_split >= 1
+                         else int(n * validation_split))
+            if not 0 < len_valid < n:
+                raise ValueError(
+                    f"validation_split {validation_split} gives {len_valid} "
+                    f"of {n} samples")
+            idx_full = np.random.RandomState(0).permutation(n)
+            self._valid_subset = idx_full[:len_valid]
+            self.subset = idx_full[len_valid:]
+
+    def split_validation(self, batch_size: Optional[int] = None,
+                         shuffle: bool = True) -> "Loader":
+        """The validation-side Loader of a ``validation_split`` loader
+        (reference base_data_loader.py:56-62; SubsetRandomSampler => the
+        val side shuffles per epoch too unless ``shuffle=False``)."""
+        if self._valid_subset is None:
+            raise ValueError("loader was built without validation_split")
+        return Loader(
+            self.dataset, batch_size or self.batch_size,
+            tokenizer=self.tokenizer, shuffle=shuffle, seed=self.seed,
+            num_workers=self.num_workers, drop_last=False,
+            shard=self.shard, num_shards=self.num_shards,
+            item_timeout=self.item_timeout, num_procs=self.num_procs,
+            subset=self._valid_subset,
+        )
+
     def close(self):
         if self._pool is not None:
             self._pool.shutdown(wait=False, cancel_futures=True)
@@ -167,18 +206,20 @@ class Loader:
         )
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self.subset) if self.subset is not None else len(self.dataset)
         if self.max_samples_per_epoch:
             n = min(n, self.max_samples_per_epoch)
         per_shard = n // self.num_shards if self.drop_last else -(-n // self.num_shards)
         return per_shard // self.batch_size if self.drop_last else -(-per_shard // self.batch_size)
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict[str, Any]]:
-        n = len(self.dataset)
+        n = len(self.subset) if self.subset is not None else len(self.dataset)
         idx = shard_indices(n, epoch=epoch, shuffle=self.shuffle,
                             seed=self.seed, shard=self.shard,
                             num_shards=self.num_shards,
                             drop_last=self.drop_last)
+        if self.subset is not None:
+            idx = np.asarray(self.subset)[idx]
         if self.max_samples_per_epoch:
             idx = idx[: self.max_samples_per_epoch // self.num_shards]
         batches = [

@@ -45,7 +45,11 @@ def build_model_config(arch: Dict[str, Any]) -> DualEncoderConfig:
         num_heads=int(vp.get("num_heads", 12)),
         drop_path_rate=float(vp.get("drop_path_rate", 0.0)),
         attention_impl=vp.get("attention_impl", "auto"),
-        remat=bool(vp.get("remat", False)),
+        # remat: false | true/'block' | 'mlp' | 'attn' — 'attn' is the
+        # measured 16f winner ('none'/'mlp' don't even fit HBM at the EPIC
+        # 16f bs16 shape; scripts/remat_ab.py): +1.6% clips/s and -10%
+        # step FLOPs vs whole-block remat
+        remat=vp.get("remat", False),
         sequence_parallel=vp.get("sequence_parallel"),
     )
     text = TextTowerConfig(
@@ -184,4 +188,8 @@ def build_loader(dl_args: Dict[str, Any], split: str,
         else bool(dl_args.get("shuffle")),
         max_samples_per_epoch=max_samples_per_epoch,
         item_timeout=dl_args.get("item_timeout_sec"),
+        # random train/val split of one dataset (reference BaseDataLoader,
+        # base_data_loader.py:29-54); split_validation() gives the val side
+        validation_split=(float(dl_args.get("validation_split", 0.0))
+                          if split == "train" else 0.0),
     )

@@ -169,3 +169,43 @@ def test_tokenizer_punctuation_and_accents(vocab_file):
     ids_p, mask_p = p(texts)
     np.testing.assert_array_equal(ids_r, ids_p)
     np.testing.assert_array_equal(mask_r, mask_p)
+
+
+def test_validation_split_loader(rng):
+    """Reference BaseDataLoader.validation_split semantics
+    (base_data_loader.py:29-54): seed-0 permutation, first len_valid
+    indices -> validation, remainder -> train; split_validation() returns
+    the val-side Loader over the SAME dataset; subsets are disjoint and
+    exhaustive."""
+    from tests.synth_ds import SynthEgoClipDataset
+
+    from egovlp_tpu.data.pipeline import Loader
+
+    ds = SynthEgoClipDataset(n=20)
+    loader = Loader(ds, batch_size=4, shuffle=True, num_workers=1,
+                    validation_split=0.25)
+    val = loader.split_validation(shuffle=False)
+
+    want = np.random.RandomState(0).permutation(20)
+    np.testing.assert_array_equal(np.sort(loader.subset), np.sort(want[5:]))
+    np.testing.assert_array_equal(np.sort(val.subset), np.sort(want[:5]))
+    assert len(loader) == 3  # 15 train items, drop_last batches of 4
+    assert len(val) == 2     # 5 val items, no drop_last
+
+    # every yielded item index stays inside its subset; epochs reshuffle
+    seen = []
+    for ep in range(2):
+        for b in loader.epoch(ep):
+            seen.append(b["_index"])
+    seen = np.concatenate(seen)
+    assert set(seen) <= set(want[5:].tolist())
+    vseen = np.concatenate([b["_index"] for b in val.epoch(0)])
+    np.testing.assert_array_equal(np.sort(vseen), np.sort(want[:5]))
+
+    # integer split = absolute validation count (reference :38-42)
+    li = Loader(ds, batch_size=4, shuffle=True, num_workers=1,
+                validation_split=7)
+    assert len(li.split_validation().subset) == 7
+
+    with pytest.raises(ValueError, match="validation_split"):
+        Loader(ds, batch_size=4, num_workers=1).split_validation()
