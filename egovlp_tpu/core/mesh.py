@@ -62,6 +62,30 @@ def create_mesh(
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def current_mesh():
+    """The mesh active at trace time, or None.
+
+    Mesh-aware library code (sp.constrain_tokens, the ring loss, pp) must
+    see the mesh from INSIDE a jitted trace.  `get_abstract_mesh` is only
+    populated by `jax.set_mesh(...)`; the codebase (and most JAX user
+    code) activates meshes with the plain `with mesh:` context manager,
+    under which the abstract mesh is EMPTY — checking only it silently
+    disables the feature (a real r3 bug: sequence-parallel constraints
+    no-op'd).  Fall back to the context-manager's physical mesh."""
+    am = jax.sharding.get_abstract_mesh()
+    if am is not None and not getattr(am, "empty", True):
+        return am
+    try:
+        from jax._src import mesh as _mesh_lib
+
+        pm = _mesh_lib.thread_resources.env.physical_mesh
+        if pm is not None and not pm.empty:
+            return pm
+    except Exception:
+        pass
+    return None
+
+
 def data_sharding(mesh: Mesh, *, leading_axis: bool = True) -> NamedSharding:
     """Sharding that splits the leading (batch) axis over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS) if leading_axis else P())

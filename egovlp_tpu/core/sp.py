@@ -44,7 +44,9 @@ def constrain_tokens(xp: jax.Array, *, frames: int, patches: int,
     Returns ``xp`` (same shape) with the constraint applied; identity when
     no mesh with ``axis_name`` is active.
     """
-    mesh = jax.sharding.get_abstract_mesh()
+    from egovlp_tpu.core.mesh import current_mesh
+
+    mesh = current_mesh()  # NOT get_abstract_mesh: empty under `with mesh:`
     if mesh is None or axis_name not in getattr(mesh, "shape", {}):
         return xp
     B, S, D = xp.shape

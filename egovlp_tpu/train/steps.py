@@ -100,7 +100,10 @@ def make_egoclip_train_step(loss_type: str = "EgoNCE", input_res: int = 224,
                 {"params": params}, video, ids, mask, deterministic=False,
                 rngs={"dropout": d_rng},
             )
-            mesh = jax.sharding.get_abstract_mesh()
+            from egovlp_tpu.core.mesh import current_mesh
+
+            mesh = current_mesh()  # not get_abstract_mesh (empty
+            # under the `with mesh:` context the trainer uses)
             if (global_sim == "ring" and mesh is not None
                     and DATA_AXIS in getattr(mesh, "shape", {})):
                 from jax.sharding import PartitionSpec as P

@@ -199,6 +199,20 @@ def test_sequence_parallel_matches_data_parallel(rng):
         state = jax.device_put(state, replicated(mesh))
         batch = shard_batch(host_batch, mesh)
         with mesh:
+            if sp:
+                # non-vacuous: the Ulysses constraints must really shard
+                # the token grid — the time<->space phase change then
+                # compiles to all-to-alls (r3 fixed constrain_tokens
+                # silently no-op'ing under `with mesh:` contexts)
+                import re
+
+                from egovlp_tpu.train.steps import numeric_batch
+
+                hlo = step.jitted.lower(
+                    state, numeric_batch(batch), jax.random.PRNGKey(0)
+                ).compile().as_text()
+                assert re.search(r"all-to-all", hlo), \
+                    "sequence parallelism did not shard the token grid"
             _, loss = step(state, batch, jax.random.PRNGKey(0))
         return float(loss)
 
@@ -365,6 +379,10 @@ def test_ring_global_similarity_matches_gather(rng, loss_type):
     }
 
     def run(global_sim):
+        import re
+
+        from egovlp_tpu.train.steps import numeric_batch
+
         mesh = create_mesh(MeshSpec())
         step = make_egoclip_train_step(loss_type=loss_type, input_res=res,
                                        global_sim=global_sim)
@@ -373,9 +391,18 @@ def test_ring_global_similarity_matches_gather(rng, loss_type):
         state = jax.device_put(state, replicated(mesh))
         batch = shard_batch(host_batch, mesh)
         with mesh:
+            # PRE-optimization StableHLO: the explicit ppermute ring is
+            # visible only when the ring path really traced (GSPMD may use
+            # collective-permutes of its own in the optimized module)
+            hlo = step.jitted.lower(state, numeric_batch(batch),
+                                    jax.random.PRNGKey(0)).as_text()
             new_state, loss = step(state, batch, jax.random.PRNGKey(0))
         probe = new_state.params["video_model"]["block00"]["mlp"]["fc1"][
             "kernel"]
+        # guard against the silent-fallback failure mode (current_mesh
+        # returning None would quietly select the gather path)
+        has_ring = bool(re.search(r"collective_permute", hlo))
+        assert has_ring == (global_sim == "ring"), (global_sim, has_ring)
         return float(loss), np.asarray(probe)
 
     loss_g, p_g = run("gather")
