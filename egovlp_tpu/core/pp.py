@@ -161,3 +161,38 @@ def pipeline_blocks(pair, stacked_params, block_apply, *, n_stages: int,
         check_vma=False,
     )(stacked_params, mc, mx)
     return (oc.reshape(B, *cls.shape[1:]), ox.reshape(B, *xp.shape[1:]))
+
+
+def video_tower_pp_apply(tower, variables, video, *, n_stages: int,
+                         n_micro: int, axis_name: str = STAGE_AXIS,
+                         deterministic: bool = True):
+    """Apply a SpaceTimeTransformer with its block stack pipelined.
+
+    The patch embedding / positional sums (`tower.embed`) and the CLS head
+    (`tower.head`) run replicated (they are <2% of tower FLOPs); the
+    D-deep block stack streams through ``n_stages`` pipeline stages in
+    ``n_micro`` microbatches.  Numerically identical to ``tower.apply``
+    (asserted in tests).  Stochastic layers are not supported on this
+    path (EgoVLP defaults run with drop_rate = drop_path_rate = 0)."""
+    from egovlp_tpu.models.video_tower import SpaceTimeBlock
+
+    cfg = tower.cfg
+    if (cfg.drop_rate or cfg.drop_path_rate) and not deterministic:
+        raise NotImplementedError(
+            "pipelined tower does not thread dropout rngs; run with "
+            "drop_rate=drop_path_rate=0 or deterministic=True")
+    params = variables.get("params", variables)
+    pair = tower.apply({"params": params}, video,
+                       deterministic=deterministic, method="embed")
+    T = video.shape[1]
+    n = cfg.patches_per_frame
+    blk = SpaceTimeBlock(cfg, dtype=tower.dtype)
+    stacked = stack_block_params(
+        {k: v for k, v in params.items() if re.fullmatch(r"block\d+", k)})
+
+    def block_apply(p, pr):
+        return blk.apply({"params": p}, pr, T, n, deterministic)
+
+    pair = pipeline_blocks(pair, stacked, block_apply, n_stages=n_stages,
+                           n_micro=n_micro, axis_name=axis_name)
+    return tower.apply({"params": params}, pair, method="head")

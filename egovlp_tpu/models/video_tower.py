@@ -286,15 +286,49 @@ class PatchEmbed(nn.Module):
 
 
 class SpaceTimeTransformer(nn.Module):
-    """Divided space-time attention transformer; returns the CLS feature."""
+    """Divided space-time attention transformer; returns the CLS feature.
+
+    setup()-style so the pre-block embedding (`embed`), the block stack,
+    and the CLS head (`head`) are separately callable — the pipeline-
+    parallel path (core/pp.py) runs embed/head data-parallel and streams
+    the block stack through pipeline stages.  Submodule names are the
+    converter contract and match the previous compact layout exactly
+    (pinned by tests/test_golden_convert.py)."""
 
     cfg: VideoTowerConfig
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, video, *, deterministic: bool = True):
-        """video: [B, T, H, W, 3] channels-last or channel-folded
-        [B, T, H, W*3]; T <= cfg.num_frames."""
+    def setup(self):
+        cfg = self.cfg
+        D = cfg.embed_dim
+        self.patch_embed = PatchEmbed(cfg.patch_size, D, dtype=self.dtype,
+                                      name="patch_embed")
+        self.cls_token = self.param(
+            "cls_token", nn.initializers.truncated_normal(0.02), (1, 1, D)
+        )
+        self.pos_embed = self.param(
+            "pos_embed", nn.initializers.truncated_normal(0.02),
+            (1, cfg.patches_per_frame + 1, D)
+        )
+        self.temporal_embed = self.param(
+            "temporal_embed", nn.initializers.zeros, (1, cfg.num_frames, D)
+        )
+        self.pos_drop = nn.Dropout(cfg.drop_rate)
+        dpr = [float(r) for r in np.linspace(0.0, cfg.drop_path_rate,
+                                             cfg.depth)]
+        block_cls = SpaceTimeBlock
+        if cfg.remat in (True, "block"):
+            block_cls = nn.remat(SpaceTimeBlock, static_argnums=(2, 3, 4))
+        self.blocks = [
+            block_cls(cfg, drop_path=dpr[i], dtype=self.dtype,
+                      name=f"block{i:02d}")
+            for i in range(cfg.depth)
+        ]
+        self.norm = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=self.dtype,
+                                 name="norm")
+
+    def embed(self, video, *, deterministic: bool = True):
+        """[B, T, H, W(, 3)] -> the (cls, patches) activation pair."""
         cfg = self.cfg
         if video.ndim == 5:
             B, T, H, W, C = video.shape
@@ -304,48 +338,36 @@ class SpaceTimeTransformer(nn.Module):
         D = cfg.embed_dim
 
         x = video.reshape(B * T, H, WC).astype(self.dtype)
-        x = PatchEmbed(cfg.patch_size, D, dtype=self.dtype,
-                       name="patch_embed")(x)
+        x = self.patch_embed(x)
         x = x.reshape(B, T * n, D)
 
-        cls_token = self.param(
-            "cls_token", nn.initializers.truncated_normal(0.02), (1, 1, D)
-        )
-        pos_embed = self.param(
-            "pos_embed", nn.initializers.truncated_normal(0.02), (1, n + 1, D)
-        )
-        temporal_embed = self.param(
-            "temporal_embed", nn.initializers.zeros, (1, cfg.num_frames, D)
-        )
-
-        cls = jnp.broadcast_to(cls_token.astype(self.dtype), (B, 1, D))
+        cls = jnp.broadcast_to(self.cls_token.astype(self.dtype), (B, 1, D))
 
         # spatial pos tiled per frame: [1,2,..n,1,2,..n,...]; temporal embed
         # repeated within each frame: [t0 x n, t1 x n, ...] (reference :311-317)
-        tile_pos = jnp.tile(pos_embed[:, 1:, :], (1, cfg.num_frames, 1))
-        tile_temporal = jnp.repeat(temporal_embed, n, axis=1)
+        tile_pos = jnp.tile(self.pos_embed[:, 1:, :], (1, cfg.num_frames, 1))
+        tile_temporal = jnp.repeat(self.temporal_embed, n, axis=1)
         patch_pos = (tile_pos + tile_temporal)[:, : T * n]
         # activations ride as a (cls, patches) PAIR through the blocks: the
         # divided-attention fast path then never pays a CLS splice/concat
         # HBM pass (kernels/divided_attention.py::divided_attention_parts)
-        cls = cls + pos_embed[:, :1].astype(self.dtype)
+        cls = cls + self.pos_embed[:, :1].astype(self.dtype)
         x = x + patch_pos.astype(self.dtype)
-        drop = nn.Dropout(cfg.drop_rate)
-        cls = drop(cls, deterministic=deterministic)
-        x = drop(x, deterministic=deterministic)
-        pair = (cls, x)
+        cls = self.pos_drop(cls, deterministic=deterministic)
+        x = self.pos_drop(x, deterministic=deterministic)
+        return cls, x
 
-        dpr = [float(r) for r in np.linspace(0.0, cfg.drop_path_rate, cfg.depth)]
-        block_cls = SpaceTimeBlock
-        if cfg.remat in (True, "block"):
-            block_cls = nn.remat(SpaceTimeBlock, static_argnums=(2, 3, 4))
-        for i in range(cfg.depth):
-            pair = block_cls(
-                cfg, drop_path=dpr[i], dtype=self.dtype, name=f"block{i:02d}"
-            )(pair, T, n, deterministic)
+    def head(self, pair):
+        """(cls, patches) -> CLS feature.  Only the CLS row passes the
+        final LayerNorm; its params are identical either way."""
+        return self.norm(pair[0])[:, 0]
 
-        # only the CLS feature leaves the tower; the final LayerNorm's
-        # params are identical whether or not the patch rows pass through it
-        out = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=self.dtype,
-                           name="norm")(pair[0])
-        return out[:, 0]
+    def __call__(self, video, *, deterministic: bool = True):
+        """video: [B, T, H, W, 3] channels-last or channel-folded
+        [B, T, H, W*3]; T <= cfg.num_frames."""
+        T = video.shape[1]
+        n = self.cfg.patches_per_frame
+        pair = self.embed(video, deterministic=deterministic)
+        for blk in self.blocks:
+            pair = blk(pair, T, n, deterministic)
+        return self.head(pair)
