@@ -108,6 +108,10 @@ def shard_batch(batch, mesh: Mesh):
         put = lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x))
     else:
         put = lambda x: jax.device_put(x, sh)
+    if isinstance(batch, dict):
+        # underscore keys are host-side metadata (Loader ``_index`` etc.)
+        # consumed by the eval gathers on the host — don't ship them
+        batch = {k: v for k, v in batch.items() if not k.startswith("_")}
     return jax.tree_util.tree_map(put, batch)
 
 

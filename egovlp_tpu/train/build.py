@@ -188,8 +188,4 @@ def build_loader(dl_args: Dict[str, Any], split: str,
         else bool(dl_args.get("shuffle")),
         max_samples_per_epoch=max_samples_per_epoch,
         item_timeout=dl_args.get("item_timeout_sec"),
-        # random train/val split of one dataset (reference BaseDataLoader,
-        # base_data_loader.py:29-54); split_validation() gives the val side
-        validation_split=(float(dl_args.get("validation_split", 0.0))
-                          if split == "train" else 0.0),
     )

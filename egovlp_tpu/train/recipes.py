@@ -153,6 +153,14 @@ def run_task(config, resume: Optional[str] = None):
     logger.info("model: %.1fM params", param_count(params) / 1e6)
 
     dl_args = _dl_args(config)
+    if dl_args.get("validation_split"):
+        # the recipe tasks evaluate on their explicit val/test splits (the
+        # reference's main path does too); accepting the key here would
+        # silently discard the carved-out fraction
+        raise ValueError(
+            "validation_split is a Loader-level feature — build the loader "
+            "yourself and use Loader(validation_split=...).split_validation()"
+            "; recipe tasks use explicit val/test splits")
     tok_len = int(config.get_path("arch.args.text_params.max_length", 30))
     tokenizer = build.build_tokenizer(config, tok_len)
     if tokenizer is None:

@@ -42,7 +42,10 @@ def numeric_batch(batch: dict) -> dict:
     def ok(v):
         return isinstance(v, (jnp.ndarray, np.ndarray)) or np.isscalar(v)
 
-    return {k: v for k, v in batch.items() if ok(v) and not isinstance(v, str)}
+    # underscore keys are host-side metadata (e.g. the Loader's ``_index``
+    # used by the distributed-eval gather) — never jit arguments
+    return {k: v for k, v in batch.items()
+            if ok(v) and not isinstance(v, str) and not k.startswith("_")}
 
 
 def arrays_only(step_fn: Callable) -> Callable:

@@ -117,11 +117,12 @@ def first_batch_loss(mesh, *, shards, num_shards: int,
 
 
 class SynthOSCCDataset:
-    """Tiny video-classification eval dataset (n=10 deliberately NOT a
-    multiple of typical shard counts, so non-drop_last sharding pads and
-    the distributed-eval gather must dedupe)."""
+    """Tiny video-classification eval dataset (n=9: ODD, so 2-way
+    non-drop_last sharding pads one shard and the distributed-eval gather
+    must really dedupe — review r3 caught the previous n=10 dividing
+    evenly, making the pad path untested)."""
 
-    def __init__(self, n: int = 10):
+    def __init__(self, n: int = 9):
         self.n = n
         self.cfg = DatasetConfig(split="test", num_frames=FRAMES,
                                  pre_size=RES)
@@ -139,13 +140,22 @@ class SynthOSCCDataset:
 
 
 def oscc_eval_metrics(shard: int, num_shards: int) -> dict:
-    """Run evaluate_oscc over this process's shard of the synthetic
-    dataset; multi-process runs gather across shards inside the eval."""
+    """Run the OSCC eval over this process's shard of the synthetic
+    dataset; multi-process runs gather across shards inside
+    `_collect_logits`.  Besides the (permutation-invariant) accuracy, an
+    ORDER-SENSITIVE digest of the gathered logits pins dataset-order
+    restoration and pad-dedup (row count enters via the weights)."""
     from egovlp_tpu.data.pipeline import Loader
-    from egovlp_tpu.evals.oscc_pnr import evaluate_oscc
+    from egovlp_tpu.evals.oscc_pnr import _collect_logits
+    from egovlp_tpu.metrics.oscc_pnr import oscc_metrics
 
     model, params = tiny_dual_encoder()
     loader = Loader(SynthOSCCDataset(), batch_size=3, shuffle=False,
                     drop_last=False, num_workers=2, shard=shard,
                     num_shards=num_shards)
-    return evaluate_oscc(model, params, loader, input_res=RES)
+    logits, ex = _collect_logits(model, params, loader, RES, ("state",))
+    m = oscc_metrics(logits, ex["state"])
+    w = np.arange(1, len(logits) + 1)[:, None]
+    m["order_digest"] = round(float(np.sum(logits * w)), 4)
+    m["rows"] = int(len(logits))
+    return m

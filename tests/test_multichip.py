@@ -283,30 +283,40 @@ def _egoclip_loss(cfg, mesh_spec, rng, tp=False):
              else jax.device_put(state, replicated(mesh)))
     batch = shard_batch(host_batch, mesh)
     with mesh:
-        _, loss = step(state, batch, jax.random.PRNGKey(0))
-    return float(loss)
+        new_state, loss = step(state, batch, jax.random.PRNGKey(0))
+    # post-UPDATE attention param probe: the partitioned BACKWARD kernels
+    # feed these gradients, so comparing it across impl/mesh variants
+    # catches wrong bwd partition rules, not just fwd parity
+    probe = np.asarray(jax.device_get(
+        new_state.params["video_model"]["block00"]["attn"]["qkv"]["kernel"]))
+    return float(loss), probe
 
 
 def test_pallas_attention_under_dp_mesh_matches_xla(rng):
     """The flagship composition (VERDICT r2 item 1): the fused Pallas
     kernels (interpret mode on CPU) run INSIDE the data-parallel mesh via
-    custom_partitioning — same EgoNCE train-step loss as the XLA path and
-    as the partitioned production default."""
+    custom_partitioning — same EgoNCE train-step loss AND parameter
+    update (i.e. gradients through the partitioned backward kernels) as
+    the XLA path."""
     rng2 = np.random.default_rng(0)
-    loss_xla = _egoclip_loss(_tiny_cfg("xla"), MeshSpec(), rng2)
+    loss_xla, p_xla = _egoclip_loss(_tiny_cfg("xla"), MeshSpec(), rng2)
     rng2 = np.random.default_rng(0)
-    loss_pal = _egoclip_loss(_tiny_cfg("pallas"), MeshSpec(), rng2)
+    loss_pal, p_pal = _egoclip_loss(_tiny_cfg("pallas"), MeshSpec(), rng2)
     assert loss_pal == pytest.approx(loss_xla, rel=2e-4)
+    np.testing.assert_allclose(p_pal, p_xla, rtol=5e-4, atol=5e-6)
 
 
 def test_pallas_attention_under_dpxtp_mesh(rng):
-    """Pallas kernels + tensor-parallel param shardings in one program."""
+    """Pallas kernels + tensor-parallel param shardings in one program —
+    loss and updates match pure-dp (bwd kernels partition correctly when
+    the qkv params/grads are model-axis sharded)."""
     rng2 = np.random.default_rng(0)
-    loss_dp = _egoclip_loss(_tiny_cfg("pallas"), MeshSpec(), rng2)
+    loss_dp, p_dp = _egoclip_loss(_tiny_cfg("pallas"), MeshSpec(), rng2)
     rng2 = np.random.default_rng(0)
-    loss_tp = _egoclip_loss(_tiny_cfg("pallas"), MeshSpec(data=4, model=2),
-                            rng2, tp=True)
+    loss_tp, p_tp = _egoclip_loss(_tiny_cfg("pallas"),
+                                  MeshSpec(data=4, model=2), rng2, tp=True)
     assert loss_tp == pytest.approx(loss_dp, rel=2e-4)
+    np.testing.assert_allclose(p_tp, p_dp, rtol=5e-4, atol=5e-6)
 
 
 def test_pallas_tower_dp_mesh_partitions_without_gather(rng):
@@ -344,11 +354,14 @@ def test_pallas_attention_composes_with_sequence_parallel(rng):
     XLA op under sequence_parallel — the kernels' partition rules keep the
     sp-sharded grid axis local (space: frames; time fwd: patch columns)."""
     rng2 = np.random.default_rng(0)
-    loss_dp = _egoclip_loss(_tiny_cfg("pallas"), MeshSpec(), rng2)
+    loss_dp, p_dp = _egoclip_loss(_tiny_cfg("pallas"), MeshSpec(), rng2)
     rng2 = np.random.default_rng(0)
-    loss_sp = _egoclip_loss(_tiny_cfg("pallas", sp="model"),
-                            MeshSpec(data=4, model=2), rng2)
+    loss_sp, p_sp = _egoclip_loss(_tiny_cfg("pallas", sp="model"),
+                                  MeshSpec(data=4, model=2), rng2)
     assert loss_sp == pytest.approx(loss_dp, rel=2e-4)
+    # updates too: the grid-sharded bwd kernels (space) and the n-gathered
+    # time bwd must produce the same gradients
+    np.testing.assert_allclose(p_sp, p_dp, rtol=5e-4, atol=5e-6)
 
 
 @pytest.mark.parametrize("loss_type", ["EgoNCE", "InfoNCE"])
@@ -420,7 +433,11 @@ def test_pipeline_parallel_video_tower_matches_sequential(rng):
 
     from jax.sharding import Mesh
 
-    from egovlp_tpu.core.pp import video_tower_pp_apply
+    from egovlp_tpu.core.pp import (
+        stack_block_params,
+        unstack_block_params,
+        video_tower_pp_apply,
+    )
     from egovlp_tpu.models import SpaceTimeTransformer, VideoTowerConfig
 
     cfg = VideoTowerConfig(img_size=32, patch_size=16, embed_dim=24,
@@ -431,6 +448,12 @@ def test_pipeline_parallel_video_tower_matches_sequential(rng):
     variables = tower.init(jax.random.PRNGKey(0), video[:1])
 
     want = tower.apply(variables, video)
+
+    # stack/unstack round-trip (the stacked layout is what stages consume)
+    blocks = {k: v for k, v in variables["params"].items()
+              if k.startswith("block")}
+    rt = unstack_block_params(stack_block_params(blocks), cfg.depth)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, rt, blocks)
 
     mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("stage",))
 
