@@ -63,6 +63,9 @@ if mode == "eval":
     print(f"METRICS={json.dumps(m, sort_keys=True)}", flush=True)
     sys.exit(0)
 
+# mode=step     gathered-similarity EgoNCE (the default production path)
+# mode=ring     the same step with global_sim='ring' (shard_map + ppermute
+#               across PROCESS boundaries) — LOSS must equal mode=step
 from egovlp_tpu.models import (
     DualEncoder,
     DualEncoderConfig,
@@ -102,7 +105,9 @@ local = {
 batch = shard_batch(local, mesh)
 assert batch["frames"].shape[0] == 4 * nprocs  # global batch assembled
 
-step = make_egoclip_train_step(loss_type="EgoNCE", input_res=res)
+step = make_egoclip_train_step(
+    loss_type="EgoNCE", input_res=res,
+    global_sim=("ring" if mode == "ring" else "gather"))
 with mesh:
     state, loss = step(state, batch, jax.random.PRNGKey(0))
 print(f"LOSS={float(loss):.6f}", flush=True)

@@ -118,3 +118,14 @@ def test_two_process_eval_gather_equals_single_process():
 
     oracle = oscc_eval_metrics(0, 1)  # single process, whole dataset
     assert metrics[0] == pytest.approx(oracle), (metrics[0], oracle)
+
+
+def test_two_process_ring_loss_equals_gather():
+    """global_sim='ring' across PROCESS boundaries: the shard_map +
+    ppermute ring spans the 2-process x 2-device mesh and reproduces the
+    gathered-formulation loss — pod-style evidence for the memory-lean
+    contrastive path."""
+    ring = _run_workers(2, mode="ring")
+    gather = _run_workers(2, mode="step")
+    assert abs(ring[0] - ring[1]) < 1e-5, ring
+    assert ring[0] == pytest.approx(gather[0], rel=1e-4), (ring, gather)
