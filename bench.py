@@ -206,6 +206,20 @@ def main():
     median = float(np.median(rates))
     q1, q3 = (float(np.percentile(rates, q)) for q in (25, 75))
 
+    # step FLOPs from the compiled program (for the MFU line) — computed
+    # HERE so state/batch can be freed before the HBM-hungry ft16 probe
+    step_flops = None
+    flops_error = None
+    try:
+        jitted = getattr(step, "jitted", step)
+        cost = jitted.lower(state, numeric_batch(batch), key).compile(
+        ).cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        step_flops = float(cost.get("flops", 0.0)) or None
+    except Exception as e:
+        flops_error = f"{type(e).__name__}: {e}"[:120]
+
     # delivered matmul TFLOPs THIS session (the chip is shared/throttled,
     # so MFU against nominal peak is meaningless here; measure the actual
     # ceiling with a dependent bf16 matmul chain at MXU-friendly shape)
@@ -297,6 +311,14 @@ def main():
     # scripts/remat_ab.py) needs more HBM than 'block' and can hit
     # ResourceExhausted inside this already-loaded bench process, so it
     # falls back to 'block' and records which variant ran.
+    # every other probe is done with the main state — free its ~2.6 GB
+    # (f32 params + Adam moments) and the batch so the 16f program has
+    # headroom (both remat variants ResourceExhausted here otherwise)
+    import gc as _gc0
+
+    del state, batch
+    _gc0.collect()
+
     ft16 = {}
     from egovlp_tpu.models import VideoTowerConfig
     from egovlp_tpu.train.steps import make_epic_train_step
@@ -369,19 +391,6 @@ def main():
     }
 
     result.update(e2e_result)
-
-    # step FLOPs from the compiled program (for the MFU line)
-    step_flops = None
-    flops_error = None
-    try:
-        jitted = getattr(step, "jitted", step)
-        cost = jitted.lower(state, numeric_batch(batch), key).compile(
-        ).cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        step_flops = float(cost.get("flops", 0.0)) or None
-    except Exception as e:
-        flops_error = f"{type(e).__name__}: {e}"[:120]
 
     if delivered_tflops and "ft16_achieved_tflops" in ft16:
         ft16["ft16_mfu_vs_delivered"] = round(
