@@ -101,35 +101,19 @@ def main():
     from egovlp_tpu.train.state import create_train_state, make_optimizer
     from egovlp_tpu.train.steps import make_egoclip_train_step, numeric_batch
 
-    # end-to-end including the host input pipeline (decode -> collate ->
-    # device_prefetch) FIRST, with nothing else resident: running it after
-    # the compute trials deterministically hits an axon ResourceExhausted
-    # on the first prefetch device_put even with >2 GB provably free
-    # (bisected r2; standalone-order is reliable).  Its state/buffers are
-    # freed on return; one extra compile of the step program is the cost.
     e2e_result = {}
-    try:
-        import gc
-        import os
-        import sys
+    import gc
+    import os
+    import sys
 
-        sys.path.insert(0, os.path.join(os.path.dirname(
-            os.path.abspath(__file__)), "scripts"))
-        from e2e_throughput import measure_e2e
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
 
-        e2e = measure_e2e(n_steps=16, warmup=4)
-        e2e_result["e2e_with_input_clips_per_sec"] = e2e["clips_per_sec"]
-        e2e_result["e2e_ms_per_step"] = e2e["ms_per_step"]
-        gc.collect()
-    except Exception as e:
-        import traceback
-
-        traceback.print_exc()
-        e2e_result["e2e_error"] = f"{type(e).__name__}: {e}"[:200]
-
-    # host input pipeline ALONE (decode -> collate -> fold, no device):
-    # proves whether the host side could feed the chip if the tunnel's
-    # ~0.04 GB/s H2D were a production DMA link (VERDICT r2 weak item 2)
+    # host input pipeline ALONE (decode -> collate -> fold, no device),
+    # measured FIRST — before any TPU client exists — so the number
+    # reflects what a dedicated loader host can feed (on this 1-core dev
+    # box the busy device process otherwise halves it; VERDICT r2 weak
+    # item 2)
     try:
         from e2e_throughput import measure_input_pipeline
 
@@ -141,6 +125,26 @@ def main():
         e2e_result["host_cpus"] = ip["host_cpus"]
     except Exception as e:
         e2e_result["input_pipeline_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # end-to-end including the host input pipeline (decode -> collate ->
+    # device_prefetch) next, with nothing else device-resident: running it
+    # after the compute trials deterministically hits an axon
+    # ResourceExhausted on the first prefetch device_put even with >2 GB
+    # provably free (bisected r2; standalone-order is reliable).  Its
+    # state/buffers are freed on return; one extra compile of the step
+    # program is the cost.
+    try:
+        from e2e_throughput import measure_e2e
+
+        e2e = measure_e2e(n_steps=16, warmup=4)
+        e2e_result["e2e_with_input_clips_per_sec"] = e2e["clips_per_sec"]
+        e2e_result["e2e_ms_per_step"] = e2e["ms_per_step"]
+        gc.collect()
+    except Exception as e:
+        import traceback
+
+        traceback.print_exc()
+        e2e_result["e2e_error"] = f"{type(e).__name__}: {e}"[:200]
 
     cfg = DualEncoderConfig()
     model = DualEncoder(cfg, dtype=jnp.bfloat16)
