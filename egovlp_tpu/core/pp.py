@@ -57,7 +57,8 @@ def unstack_block_params(stacked, depth: int) -> Dict:
 
 
 def pipeline_blocks(pair, stacked_params, block_apply, *, n_stages: int,
-                    n_micro: int, axis_name: str = STAGE_AXIS):
+                    n_micro: int, axis_name: str = STAGE_AXIS,
+                    data_axis: "str | None" = None):
     """Run the stacked block stack as an ``n_stages``-deep pipeline.
 
     Args:
@@ -67,6 +68,9 @@ def pipeline_blocks(pair, stacked_params, block_apply, *, n_stages: int,
         Leading dim must divide ``n_stages``.
       block_apply: ``(block_param_subtree, pair) -> pair`` — one block.
       n_micro: number of microbatches (>= 1; bubble = (S-1)/(n_micro+S-1)).
+      data_axis: optional second mesh axis to ALSO data-parallelise over —
+        microbatch rows shard across it (each data replica pipelines its
+        slice through the same stages; params stay stage-sharded only).
 
     Returns the transformed (cls, patches) pair.  Must run under a mesh
     whose ``axis_name`` axis has size ``n_stages``; call it INSIDE jit —
@@ -155,9 +159,11 @@ def pipeline_blocks(pair, stacked_params, block_apply, *, n_stages: int,
 
     spec_params = jax.tree_util.tree_map(
         lambda _: P(axis_name), stacked_params)
+    act_spec = P(None, data_axis) if data_axis else P()
     oc, ox = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(spec_params, P(), P()), out_specs=(P(), P()),
+        in_specs=(spec_params, act_spec, act_spec),
+        out_specs=(act_spec, act_spec),
         check_vma=False,
     )(stacked_params, mc, mx)
     return (oc.reshape(B, *cls.shape[1:]), ox.reshape(B, *xp.shape[1:]))
@@ -165,6 +171,7 @@ def pipeline_blocks(pair, stacked_params, block_apply, *, n_stages: int,
 
 def video_tower_pp_apply(tower, variables, video, *, n_stages: int,
                          n_micro: int, axis_name: str = STAGE_AXIS,
+                         data_axis: "str | None" = None,
                          deterministic: bool = True):
     """Apply a SpaceTimeTransformer with its block stack pipelined.
 
@@ -194,5 +201,6 @@ def video_tower_pp_apply(tower, variables, video, *, n_stages: int,
         return blk.apply({"params": p}, pr, T, n, deterministic)
 
     pair = pipeline_blocks(pair, stacked, block_apply, n_stages=n_stages,
-                           n_micro=n_micro, axis_name=axis_name)
+                           n_micro=n_micro, axis_name=axis_name,
+                           data_axis=data_axis)
     return tower.apply({"params": params}, pair, method="head")

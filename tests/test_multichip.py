@@ -482,3 +482,32 @@ def test_pipeline_parallel_video_tower_matches_sequential(rng):
     g_seq = jax.grad(loss_seq)(video)
     np.testing.assert_allclose(np.asarray(g_pp), np.asarray(g_seq),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_pipeline_parallel_composes_with_data_parallel(rng, impl):
+    """pp x dp: a (stage=2, data=2) mesh pipelines each data replica's
+    microbatch slice through the stage-sharded block stack — both with
+    the XLA op and the fused Pallas kernels (which inline inside the
+    shard_map region)."""
+    from jax.sharding import Mesh
+
+    from egovlp_tpu.core.pp import video_tower_pp_apply
+    from egovlp_tpu.models import SpaceTimeTransformer, VideoTowerConfig
+
+    cfg = VideoTowerConfig(img_size=32, patch_size=16, embed_dim=24,
+                           depth=4, num_heads=2, num_frames=4,
+                           attention_impl=impl)
+    tower = SpaceTimeTransformer(cfg)
+    video = jnp.asarray(rng.normal(size=(8, 4, 32, 32, 3)), jnp.float32)
+    variables = tower.init(jax.random.PRNGKey(0), video[:1])
+    want = tower.apply(variables, video)
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                ("stage", "data"))
+    with mesh:
+        got = jax.jit(lambda v, x: video_tower_pp_apply(
+            tower, v, x, n_stages=2, n_micro=4, data_axis="data"))(
+                variables, video)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
