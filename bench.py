@@ -318,17 +318,15 @@ def main():
     # every other probe is done with the main state — free its ~2.6 GB
     # (f32 params + Adam moments) and the batch so the 16f program has
     # headroom (both remat variants ResourceExhausted here otherwise)
-    import gc as _gc0
-
     del state, batch
-    _gc0.collect()
+    gc.collect()
 
     ft16 = {}
     from egovlp_tpu.models import VideoTowerConfig
     from egovlp_tpu.train.steps import make_epic_train_step
 
     for remat16 in ("attn", "block"):
-        state16 = batch16 = params16 = None
+        state16 = batch16 = params16 = step16 = model16 = None
         try:
             cfg16 = DualEncoderConfig(
                 video=VideoTowerConfig(num_frames=16, remat=remat16))
@@ -377,13 +375,15 @@ def main():
                 pass
             break
         except Exception as e:
-            ft16.setdefault("ft16_error", f"{type(e).__name__}: {e}"[:160])
-            ft16[f"ft16_{remat16}_failed"] = True
+            # per-variant error text: the fallback's failure can have a
+            # different root cause than the first attempt's
+            ft16[f"ft16_{remat16}_error"] = f"{type(e).__name__}: {e}"[:160]
+            ft16.setdefault("ft16_error", ft16[f"ft16_{remat16}_error"])
         finally:
-            import gc as _gc
-
-            del state16, batch16, params16
-            _gc.collect()
+            # free EVERYTHING from a failed attempt, including the
+            # compiled step executable, before the fallback allocates
+            del state16, batch16, params16, step16, model16
+            gc.collect()
 
     result = {
         "metric": "egoclip_train_clips_per_sec_per_chip",

@@ -98,6 +98,14 @@ def pipeline_blocks(pair, stacked_params, block_apply, *, n_stages: int,
         raise ValueError(
             f"pipeline_blocks needs an active mesh with a '{axis_name}' "
             "axis (use `with mesh:` or jax.set_mesh around the jit call)")
+    if data_axis is not None:
+        if data_axis not in mesh.shape:
+            raise ValueError(
+                f"data_axis '{data_axis}' not in mesh axes {dict(mesh.shape)}")
+        if (B // n_micro) % mesh.shape[data_axis]:
+            raise ValueError(
+                f"microbatch rows B/n_micro={B // n_micro} must divide the "
+                f"'{data_axis}' axis size {mesh.shape[data_axis]}")
 
     # params: leading depth axis sharded over stages; activations replicated
     # into the region (stage 0 consumes them; ~B*S*D bytes, the same order

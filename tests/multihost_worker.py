@@ -109,5 +109,14 @@ step = make_egoclip_train_step(
     loss_type="EgoNCE", input_res=res,
     global_sim=("ring" if mode == "ring" else "gather"))
 with mesh:
+    if mode == "ring":
+        # non-vacuous: the explicit ppermute ring must be in the traced
+        # program — a silent fallback to the gathered path (the r3
+        # mesh-detection bug class) would still produce equal losses
+        from egovlp_tpu.train.steps import numeric_batch
+
+        hlo = step.jitted.lower(state, numeric_batch(batch),
+                                jax.random.PRNGKey(0)).as_text()
+        assert "collective_permute" in hlo, "ring path not traced"
     state, loss = step(state, batch, jax.random.PRNGKey(0))
 print(f"LOSS={float(loss):.6f}", flush=True)

@@ -505,9 +505,35 @@ def test_pipeline_parallel_composes_with_data_parallel(rng, impl):
 
     mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
                 ("stage", "data"))
+    pp_fn = lambda v, x: video_tower_pp_apply(
+        tower, v, x, n_stages=2, n_micro=4, data_axis="data")
     with mesh:
-        got = jax.jit(lambda v, x: video_tower_pp_apply(
-            tower, v, x, n_stages=2, n_micro=4, data_axis="data"))(
+        jitted = jax.jit(pp_fn)
+        hlo = jitted.lower(variables, video).as_text()
+        got = jitted(variables, video)
+    # non-vacuous: the ppermute ring must be traced in, and data_axis must
+    # be honoured — its divisibility validation lives on the same branch
+    # as the act_spec sharding, so a silently-ignored data_axis would also
+    # stop raising here (outputs alone can't tell: XLA replicates them)
+    import re
+
+    assert re.search(r"collective_permute", hlo)
+    with pytest.raises(ValueError, match="must divide"):
+        with mesh:
+            jax.eval_shape(lambda v, x: video_tower_pp_apply(
+                tower, v, x, n_stages=2, n_micro=8, data_axis="data"),
                 variables, video)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+    # gradients through the composed pp x dp path equal sequential
+    def loss_pp(v):
+        with mesh:
+            return jnp.sum(pp_fn(variables, v) ** 2)
+
+    with mesh:
+        g_pp = jax.jit(jax.grad(loss_pp))(video)
+    g_seq = jax.grad(
+        lambda v: jnp.sum(tower.apply(variables, v) ** 2))(video)
+    np.testing.assert_allclose(np.asarray(g_pp), np.asarray(g_seq),
+                               rtol=1e-4, atol=1e-5)
