@@ -311,10 +311,11 @@ def main():
     # 16-frame fine-tune throughput (the reference's headline EPIC/Charades
     # fine-tunes run at 16f bs16, configs/ft/*.json): one EPIC MaxMargin
     # step on the 16-frame flagship tower.  Runs LAST of the device probes
-    # and cleans up on failure: remat='attn' (the standalone A/B winner,
-    # scripts/remat_ab.py) needs more HBM than 'block' and can hit
-    # ResourceExhausted inside this already-loaded bench process, so it
-    # falls back to 'block' and records which variant ran.
+    # and cleans up on failure: remat='attn_out' (the A/B winner,
+    # scripts/remat_ab.py: 17.2 vs 15.0 'attn' vs 14.9 'block' clips/s —
+    # it saves the named attention outputs so only the qkv Dense
+    # recomputes) needs the most HBM, so it falls back through 'attn'
+    # then 'block' on ResourceExhausted and records which variant ran.
     # every other probe is done with the main state — free its ~2.6 GB
     # (f32 params + Adam moments) and the batch so the 16f program has
     # headroom (both remat variants ResourceExhausted here otherwise)
@@ -325,7 +326,7 @@ def main():
     from egovlp_tpu.models import VideoTowerConfig
     from egovlp_tpu.train.steps import make_epic_train_step
 
-    for remat16 in ("attn", "block"):
+    for remat16 in ("attn_out", "attn", "block"):
         state16 = batch16 = params16 = step16 = model16 = None
         try:
             cfg16 = DualEncoderConfig(

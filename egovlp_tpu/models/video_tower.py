@@ -60,9 +60,12 @@ class VideoTowerConfig:
     #   'mlp'        — remat only each block's MLP (the largest single
     #     activation producer: 4x-wide hidden) — cheaper recompute than
     #     'block' at most of the memory win;
-    #   'attn'       — remat only the two attention applications.
-    # Measured on the 16f EPIC fine-tune shape: see bench.py ft16 field
-    # and scripts/remat_ab.py.
+    #   'attn'       — remat only the two attention applications;
+    #   'attn_out'   — 'attn' plus a save_only_these_names policy keeping
+    #     the named attention outputs, so the backward recomputes only
+    #     the qkv Dense (not the kernel or proj).  Measured 16f winner:
+    #     17.2 vs 15.0 ('attn') vs 14.9 ('block') clips/s;
+    #     see bench.py ft16 field and scripts/remat_ab.py.
     remat: "bool | str" = False
     # Ulysses-style sequence/context parallelism (core/sp.py): name of the
     # mesh axis to shard the token grid over — patch columns during time
@@ -154,6 +157,13 @@ class VarAttention(nn.Module):
         oc, op = divided_attention_parts(qc, kc, vc, qp, kp, vp, heads=H,
                                          frames=frames, patches=patches,
                                          axis=axis, impl=self.impl)
+        # named for the 'attn_out' remat policy (SpaceTimeBlock): saving
+        # these [B, S, D] outputs means the backward recomputes only the
+        # qkv Dense, not the attention kernel or the output projection
+        from jax.ad_checkpoint import checkpoint_name
+
+        oc = checkpoint_name(oc, "attn_out")
+        op = checkpoint_name(op, "attn_out")
 
         if self.sp_axis:
             op = constrain_tokens(op, frames=frames, patches=patches,
@@ -209,6 +219,16 @@ class SpaceTimeBlock(nn.Module):
         mlp_cls = Mlp
         if cfg.remat == "attn":
             attn_cls = nn.remat(VarAttention, static_argnums=(2, 3, 4, 5))
+        elif cfg.remat == "attn_out":
+            # like 'attn' but SAVES the named attention outputs
+            # ([B, S, D] per site): the backward then recomputes only the
+            # qkv Dense — not the attention kernel or the output
+            # projection — for ~1.85 GB more residency at the 16f shape
+            attn_cls = nn.remat(
+                VarAttention, static_argnums=(2, 3, 4, 5),
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "attn_out"),
+            )
         elif cfg.remat == "mlp":
             mlp_cls = nn.remat(Mlp, static_argnums=(2,))
 

@@ -45,10 +45,11 @@ def build_model_config(arch: Dict[str, Any]) -> DualEncoderConfig:
         num_heads=int(vp.get("num_heads", 12)),
         drop_path_rate=float(vp.get("drop_path_rate", 0.0)),
         attention_impl=vp.get("attention_impl", "auto"),
-        # remat: false | true/'block' | 'mlp' | 'attn' — 'attn' is the
-        # measured 16f winner ('none'/'mlp' don't even fit HBM at the EPIC
-        # 16f bs16 shape; scripts/remat_ab.py): +1.6% clips/s and -10%
-        # step FLOPs vs whole-block remat
+        # remat: false | true/'block' | 'mlp' | 'attn' | 'attn_out' —
+        # 'attn_out' is the measured 16f winner (scripts/remat_ab.py:
+        # 17.2 vs 15.0 'attn' vs 14.9 'block' clips/s; 'none'/'mlp' don't
+        # fit HBM at the EPIC 16f bs16 shape): it saves the named
+        # attention outputs so the backward recomputes only the qkv Dense
         remat=vp.get("remat", False),
         sequence_parallel=vp.get("sequence_parallel"),
     )

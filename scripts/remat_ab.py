@@ -44,7 +44,7 @@ def main():
     key = jax.random.PRNGKey(0)
     out = {}
 
-    for rm in ("none", "block", "mlp", "attn"):
+    for rm in ("attn_out", "attn", "block"):
         try:
             cfg = DualEncoderConfig(video=VideoTowerConfig(
                 num_frames=T, remat=(False if rm == "none" else rm)))

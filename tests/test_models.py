@@ -158,7 +158,7 @@ def test_remat_variants_match(rng):
 
     video = jnp.asarray(rng.normal(size=(2, 4, 32, 32, 3)), jnp.float32)
     ref_loss = ref_tree = None
-    for rm in (False, "block", "mlp", "attn"):
+    for rm in (False, "block", "mlp", "attn", "attn_out"):
         cfg = VideoTowerConfig(img_size=32, patch_size=16, embed_dim=24,
                                depth=2, num_heads=2, num_frames=4, remat=rm,
                                attention_impl="xla")
