@@ -334,3 +334,55 @@ def test_time_bsd_batched_body_blocked_n_matches_xla(rng, monkeypatch):
                                    rtol=2e-4, atol=2e-5)
     da._time_bsd.cache_clear()
     pa._time_bsd_ops.cache_clear()
+
+
+def test_bsd_kernel_head_sharding_partition_rule(rng):
+    """Direct check of the custom_partitioning d-axis rule: with the minor
+    dim sharded head-aligned over a mesh axis, the space kernel computes
+    each head's attention locally and matches the unsharded result."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from egovlp_tpu.kernels.pallas_attention import make_space_attention_bsd
+
+    H, hd, G, L, B = 2, 16, 3, 8, 4
+    D = H * hd
+    fn = make_space_attention_bsd(H, float(hd) ** -0.5)
+    q, k, v = (_rand(rng, B, G, L, D) for _ in range(3))
+    ck, cv = (_rand(rng, B, 1, D) for _ in range(2))
+    want = fn(q, k, v, ck, cv)
+
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("model",))
+    blk = NamedSharding(mesh, P(None, None, None, "model"))
+    cls = NamedSharding(mesh, P(None, None, "model"))
+    qs, ks, vs = (jax.device_put(t, blk) for t in (q, k, v))
+    cks, cvs = (jax.device_put(t, cls) for t in (ck, cv))
+    with mesh:
+        got = jax.jit(fn)(qs, ks, vs, cks, cvs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_bsd_kernel_invalid_d_sharding_falls_back_to_replication(rng):
+    """When the proposed minor-dim sharding would break head alignment
+    (local D < head width), the partition callback replicates d instead —
+    the op still computes correctly (the partitioner inserts the gather)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from egovlp_tpu.kernels.pallas_attention import make_space_attention_bsd
+
+    H, hd, G, L, B = 2, 16, 3, 8, 4
+    D = H * hd  # 32; sharded 4-way -> local 8 < hd=16: invalid
+    fn = make_space_attention_bsd(H, float(hd) ** -0.5)
+    q, k, v = (_rand(rng, B, G, L, D) for _ in range(3))
+    ck, cv = (_rand(rng, B, 1, D) for _ in range(2))
+    want = fn(q, k, v, ck, cv)
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("model",))
+    blk = NamedSharding(mesh, P(None, None, None, "model"))
+    cls = NamedSharding(mesh, P(None, None, "model"))
+    qs, ks, vs = (jax.device_put(t, blk) for t in (q, k, v))
+    cks, cvs = (jax.device_put(t, cls) for t in (ck, cv))
+    with mesh:
+        got = jax.jit(fn)(qs, ks, vs, cks, cvs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
