@@ -32,17 +32,29 @@ def _process_count() -> int:
     return jax.process_count()
 
 
-def _allgather_padded(x: np.ndarray) -> List[np.ndarray]:
-    """All-gather a per-process numpy array of process-dependent leading
-    length; returns the per-process arrays (trimmed to true lengths)."""
+def _gather_counts(n_local: int) -> np.ndarray:
+    """Per-process leading lengths, one int exchange."""
     import jax
     from jax.experimental import multihost_utils
 
-    # process_allgather needs identical shapes: exchange lengths first,
-    # pad to the max, gather, trim.
-    n_local = np.asarray([x.shape[0]], np.int64)
-    counts = np.asarray(multihost_utils.process_allgather(n_local))
-    counts = counts.reshape(jax.process_count())
+    counts = np.asarray(multihost_utils.process_allgather(
+        np.asarray([n_local], np.int64)))
+    return counts.reshape(jax.process_count())
+
+
+def _allgather_padded(x: np.ndarray,
+                      counts: Optional[np.ndarray] = None
+                      ) -> List[np.ndarray]:
+    """All-gather a per-process numpy array of process-dependent leading
+    length; returns the per-process arrays (trimmed to true lengths).
+    ``counts`` (from `_gather_counts`) may be shared across calls — the
+    eval gathers many same-length columns with ONE length exchange."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    # process_allgather needs identical shapes: pad to the max, gather, trim
+    if counts is None:
+        counts = _gather_counts(x.shape[0])
     n_max = int(counts.max())
     if x.shape[0] < n_max:
         pad = np.zeros((n_max - x.shape[0],) + x.shape[1:], x.dtype)
@@ -60,10 +72,13 @@ def gather_arrays(arrays: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     single-process."""
     if _process_count() == 1:
         return arrays
+    counts = None
     out = {}
     for k, v in arrays.items():
         v = np.asarray(v)
-        out[k] = np.concatenate(_allgather_padded(v))
+        if counts is None:
+            counts = _gather_counts(v.shape[0])
+        out[k] = np.concatenate(_allgather_padded(v, counts))
     return out
 
 

@@ -83,7 +83,6 @@ def pipeline_blocks(pair, stacked_params, block_apply, *, n_stages: int,
         raise ValueError(f"B={B} % n_micro={n_micro} or depth={depth} % "
                          f"n_stages={n_stages} != 0")
     mb = B // n_micro
-    per_stage = depth // n_stages
 
     # [n_micro, mb, ...] microbatch views
     mc = cls.reshape(n_micro, mb, *cls.shape[1:])
@@ -102,9 +101,9 @@ def pipeline_blocks(pair, stacked_params, block_apply, *, n_stages: int,
         if data_axis not in mesh.shape:
             raise ValueError(
                 f"data_axis '{data_axis}' not in mesh axes {dict(mesh.shape)}")
-        if (B // n_micro) % mesh.shape[data_axis]:
+        if mb % mesh.shape[data_axis]:
             raise ValueError(
-                f"microbatch rows B/n_micro={B // n_micro} must divide the "
+                f"microbatch rows B/n_micro={mb} must divide the "
                 f"'{data_axis}' axis size {mesh.shape[data_axis]}")
 
     # params: leading depth axis sharded over stages; activations replicated
@@ -115,11 +114,9 @@ def pipeline_blocks(pair, stacked_params, block_apply, *, n_stages: int,
         n_ticks = n_micro + n_stages - 1
 
         def apply_stage(carry_pair):
-            def one(p, pr):
-                return block_apply(p, pr), None
-
             out, _ = jax.lax.scan(
-                lambda pr, p: one(p, pr), carry_pair, stacked_local)
+                lambda pr, p: (block_apply(p, pr), None),
+                carry_pair, stacked_local)
             return out
 
         perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
@@ -145,12 +142,15 @@ def pipeline_blocks(pair, stacked_params, block_apply, *, n_stages: int,
             m = t - (n_stages - 1)
             valid = (stage == n_stages - 1) & (m >= 0)
             m_in = jnp.clip(m, 0, n_micro - 1)
-            oc = jax.lax.dynamic_update_index_in_dim(
-                oc, jnp.where(valid, hc, jax.lax.dynamic_index_in_dim(
-                    oc, m_in, keepdims=False)), m_in, axis=0)
-            ox = jax.lax.dynamic_update_index_in_dim(
-                ox, jnp.where(valid, hx, jax.lax.dynamic_index_in_dim(
-                    ox, m_in, keepdims=False)), m_in, axis=0)
+
+            def bank(buf, val):
+                # masked slice update (slice-sized `where`, not buffer-sized)
+                old = jax.lax.dynamic_index_in_dim(buf, m_in, keepdims=False)
+                return jax.lax.dynamic_update_index_in_dim(
+                    buf, jnp.where(valid, val, old), m_in, axis=0)
+
+            oc = bank(oc, hc)
+            ox = bank(ox, hx)
 
             hc = jax.lax.ppermute(hc, axis_name, perm)
             hx = jax.lax.ppermute(hx, axis_name, perm)

@@ -30,6 +30,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from egovlp_tpu.kernels.divided_attention import divided_attention_parts
 
@@ -160,8 +161,6 @@ class VarAttention(nn.Module):
         # named for the 'attn_out' remat policy (SpaceTimeBlock): saving
         # these [B, S, D] outputs means the backward recomputes only the
         # qkv Dense, not the attention kernel or the output projection
-        from jax.ad_checkpoint import checkpoint_name
-
         oc = checkpoint_name(oc, "attn_out")
         op = checkpoint_name(op, "attn_out")
 
