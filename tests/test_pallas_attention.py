@@ -386,3 +386,38 @@ def test_bsd_kernel_invalid_d_sharding_falls_back_to_replication(rng):
         got = jax.jit(fn)(qs, ks, vs, cks, cvs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=3e-5, atol=3e-5)
+
+
+@pytest.mark.parametrize("B,H,f,n,hd", [
+    (1, 1, 2, 4, 8),     # minimal everything
+    (2, 4, 5, 7, 16),    # odd f and n (n pads to the probed block)
+    (1, 2, 3, 13, 32),   # prime n, wider head
+    (3, 2, 8, 9, 16),    # fi-batched body (f>=8) with tiny odd n
+    (1, 8, 4, 16, 16),   # D = 128 exactly one lane block
+])
+def test_bsd_kernels_shape_sweep(rng, B, H, f, n, hd):
+    """Shape-robustness sweep: fwd + grads of both BSD kernels vs the XLA
+    path across small awkward shapes (odd groups, prime columns, lane-block
+    boundaries) in interpret mode."""
+    from egovlp_tpu.kernels.divided_attention import divided_attention_bsd
+
+    D, S = H * hd, 1 + f * n
+    q, k, v = (jnp.asarray(rng.normal(size=(B, S, D)), jnp.float32)
+               for _ in range(3))
+    for axis in ("space", "time"):
+        def loss(impl):
+            def fn(q, k, v):
+                out = divided_attention_bsd(q, k, v, heads=H, frames=f,
+                                            patches=n, axis=axis, impl=impl)
+                return jnp.sum(out ** 2)
+
+            return fn
+
+        vp, gp = jax.value_and_grad(loss("pallas"), argnums=(0, 1, 2))(q, k, v)
+        vx, gx = jax.value_and_grad(loss("xla"), argnums=(0, 1, 2))(q, k, v)
+        np.testing.assert_allclose(float(vp), float(vx), rtol=1e-5,
+                                   err_msg=f"{axis} fwd")
+        for a, b, nm in zip(gp, gx, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=3e-4, atol=3e-5,
+                                       err_msg=f"{axis} d{nm}")
