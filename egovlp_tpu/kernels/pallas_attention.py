@@ -811,37 +811,49 @@ def _nb_disk_put(key: str, nb: int) -> None:
 
 
 def _time_kernel_compiles(f: int, nb: int, lb: int, hd: int,
+                          multi_j: bool = True,
                           dtype=jnp.bfloat16) -> bool:
     """Compile-probe one lane-slice / one n-block of the time kernels
-    (fwd + bwd) on the current backend.  The per-program VMEM footprint
-    depends only on the block shape, so a (1, f, nb, lb) single-block grid
-    is a faithful stand-in for the full launch."""
+    (fwd + bwd) on the current backend.
+
+    The probe grid MUST match the real launch's pipelining: under a
+    single-step grid Mosaic skips the DMA double buffers, so a
+    (1, 1, 1)-grid probe under-counts scoped VMEM by one full set of
+    block buffers and admits n-blocks that OOM in production (found the
+    hard way: f=8 nb=120 probed green but the real backward died 880 KB
+    over the 16 MB scoped-vmem limit).  ``multi_j`` mirrors whether the
+    candidate leaves more than one n-block in the real grid; when the
+    block covers all of n (j-grid = 1, e.g. the f=4 flagship shape) the
+    real launch pipelines only over lanes, and probing with a doubled j
+    axis would spuriously reject it."""
     scale = float(hd) ** -0.5
     hpb = lb // hd
     blk, cls = _time_bsd_specs(f, nb, lb)
     cls_out = pl.BlockSpec((1, 1, 1, lb), lambda b, h, j: (b, j, 0, h),
                            memory_space=pltpu.VMEM)
-    q = jax.ShapeDtypeStruct((1, f, nb, lb), dtype)
-    c = jax.ShapeDtypeStruct((1, 1, lb), dtype)
+    nj = 2 if multi_j else 1
+    grid = (1, 2, nj)
+    q = jax.ShapeDtypeStruct((1, f, nj * nb, 2 * lb), dtype)
+    c = jax.ShapeDtypeStruct((1, 1, 2 * lb), dtype)
 
     def fwd(q_, k_, v_, ck_, cv_):
         return pl.pallas_call(
-            _mk_time_fwd_bsd(scale, hd, hpb), grid=(1, 1, 1),
+            _mk_time_fwd_bsd(scale, hd, hpb), grid=grid,
             in_specs=[blk, blk, blk, cls, cls], out_specs=blk,
-            out_shape=jax.ShapeDtypeStruct((1, f, nb, lb), dtype),
+            out_shape=jax.ShapeDtypeStruct(q.shape, dtype),
         )(q_, k_, v_, ck_, cv_)
 
     def bwd(q_, k_, v_, ck_, cv_, do_):
         return pl.pallas_call(
-            _mk_time_bwd_bsd(scale, hd, hpb), grid=(1, 1, 1),
+            _mk_time_bwd_bsd(scale, hd, hpb), grid=grid,
             in_specs=[blk, blk, blk, cls, cls, blk],
             out_specs=(blk, blk, blk, cls_out, cls_out),
             out_shape=(
-                jax.ShapeDtypeStruct((1, f, nb, lb), dtype),
-                jax.ShapeDtypeStruct((1, f, nb, lb), dtype),
-                jax.ShapeDtypeStruct((1, f, nb, lb), dtype),
-                jax.ShapeDtypeStruct((1, 1, 1, lb), dtype),
-                jax.ShapeDtypeStruct((1, 1, 1, lb), dtype),
+                jax.ShapeDtypeStruct(q.shape, dtype),
+                jax.ShapeDtypeStruct(q.shape, dtype),
+                jax.ShapeDtypeStruct(q.shape, dtype),
+                jax.ShapeDtypeStruct((1, nj, 1, 2 * lb), dtype),
+                jax.ShapeDtypeStruct((1, nj, 1, 2 * lb), dtype),
             ),
         )(q_, k_, v_, ck_, cv_, do_)
 
@@ -879,9 +891,11 @@ def time_n_block(f: int, n: int, lb: int, itemsize: int = 2,
             _NB_CACHE[key] = nb
             return nb
 
-    # kv2: fi-batched kernels (different VMEM profile than the v1
-    # per-(fi, g) loop) — versioning invalidates stale cached block sizes
-    disk_key = f"{_device_kind()}|jax{jax.__version__}|kv2|f{f}|n{n}|lb{lb}"
+    # kv4: the probe reproduces the real launch's DMA double-buffering
+    # (kv2's single-step-grid probes admitted nb values that OOM'd scoped
+    # VMEM in production) and the result is pad-balanced — versioning
+    # invalidates stale cached sizes
+    disk_key = f"{_device_kind()}|jax{jax.__version__}|kv4|f{f}|n{n}|lb{lb}"
     cached = _nb_disk_get(disk_key)
     if cached is not None:
         _NB_CACHE[key] = int(cached)
@@ -889,8 +903,10 @@ def time_n_block(f: int, n: int, lb: int, itemsize: int = 2,
 
     nb = _analytic_time_n_block(f, n, lb)
     if hd is not None and not _use_interpret():
+        probe = lambda cand: _time_kernel_compiles(f, cand, lb, hd,
+                                                   multi_j=cand < n)
         fail_floor = None  # smallest candidate known to fail
-        while not _time_kernel_compiles(f, nb, lb, hd):
+        while not probe(nb):
             if nb <= 8:
                 raise RuntimeError(
                     f"time-attention kernel does not fit scoped VMEM on "
@@ -905,7 +921,7 @@ def time_n_block(f: int, n: int, lb: int, itemsize: int = 2,
             grown = nb
             while grown < n:
                 cand = min(n, grown * 2)  # doubles stay multiples of 8
-                if not _time_kernel_compiles(f, cand, lb, hd):
+                if not probe(cand):
                     fail_floor = cand
                     break
                 grown = cand
@@ -918,11 +934,18 @@ def time_n_block(f: int, n: int, lb: int, itemsize: int = 2,
                 mid = (lo + hi) // 2 // 8 * 8
                 if mid <= lo or mid >= hi:
                     break
-                if _time_kernel_compiles(f, mid, lb, hd):
+                if probe(mid):
                     lo = mid
                 else:
                     hi = mid
             nb = lo
+        if nb < n:
+            # balance: the same number of n-blocks with the smallest
+            # (multiple-of-8) block minimises pad columns — e.g. f=8's
+            # largest fitting block 96 would pad 196 -> 288, the balanced
+            # 72 pads only to 216 (same three blocks, 25% less work)
+            blocks = -(-n // nb)
+            nb = -(-(-(-n // blocks)) // 8) * 8
         _nb_disk_put(disk_key, nb)
     _NB_CACHE[key] = nb
     return nb

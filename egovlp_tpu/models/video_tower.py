@@ -35,6 +35,33 @@ from jax.ad_checkpoint import checkpoint_name
 from egovlp_tpu.kernels.divided_attention import divided_attention_parts
 
 
+def resolve_attention_impls(cfg_impl: str, frames: int,
+                            backend: "str | None" = None):
+    """Map an ``attention_impl`` config value to per-axis kernel choices.
+
+    Returns ``(space_impl, time_impl)`` for the divided attention.  The
+    ``'auto'`` policy is frame-aware on TPU: the fused Pallas time kernel
+    wins decisively at small frame counts (4f full step: 336 vs 433 ms),
+    but at f>=16 its fi-batched VPU body loses to XLA's batched matmuls
+    (interleaved A/B, scripts/attn16_ab.py: tower fwd+bwd 900.9 ms XLA-time
+    vs 920.0 ms fused, XLA winning 6/6 rounds).  The space kernel wins at
+    every measured shape.  ``'mixed'`` forces space fused + time XLA —
+    both the f>=16 fast path and an escape hatch for toolchains where the
+    time kernel misbehaves; ``'xla'`` / ``'pallas'`` force one
+    implementation for both axes.
+    """
+    if backend is None:
+        backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    if cfg_impl == "auto":
+        space = "pallas" if on_tpu else "xla"
+        time = "pallas" if on_tpu and frames < 16 else "xla"
+        return space, time
+    if cfg_impl == "mixed":
+        return ("pallas" if on_tpu else "xla"), "xla"
+    return cfg_impl, cfg_impl
+
+
 @dataclasses.dataclass(frozen=True)
 class VideoTowerConfig:
     img_size: int = 224
@@ -50,9 +77,10 @@ class VideoTowerConfig:
     drop_path_rate: float = 0.0
     ln_eps: float = 1e-6
     time_init: str = "zeros"  # 'zeros' => starts as a ViT (reference :90-96)
-    # divided-attention implementation: 'auto' fuses the space-axis grouped
-    # attention with the Pallas kernel on TPU (time-axis groups are tiny and
-    # stay on XLA); 'xla' / 'pallas' force one implementation for both axes.
+    # divided-attention implementation — see resolve_attention_impls:
+    # 'auto' (frame-aware TPU policy: space always fused, time fused below
+    # 16 frames / XLA at 16+), 'mixed' (space fused, time XLA), or
+    # 'xla' / 'pallas' forcing one implementation for both axes.
     attention_impl: str = "auto"
     # rematerialization (jax.checkpoint) for the backward pass:
     #   False/'none' — save all activations;
@@ -192,20 +220,10 @@ class SpaceTimeBlock(nn.Module):
         both = lambda m, pair: (m(pair[0]), m(pair[1]))
         add = lambda a, b: (a[0] + b[0], a[1] + b[1])
 
-        if cfg.attention_impl == "auto":
-            on_tpu = jax.default_backend() == "tpu"
-            space_impl = "pallas" if on_tpu else "xla"
-            time_impl = "pallas" if on_tpu else "xla"
-        elif cfg.attention_impl == "mixed":
-            # space fused, time on XLA — an escape hatch for toolchains
-            # where the time kernel misbehaves.  NOT a perf win here:
-            # measured 433 vs 336 ms/step (full EgoClip step, 4f) against
-            # 'auto'; the fused time kernel clearly wins at every shape.
-            on_tpu = jax.default_backend() == "tpu"
-            space_impl = "pallas" if on_tpu else "xla"
-            time_impl = "xla"
-        else:
-            space_impl = time_impl = cfg.attention_impl
+        # 'auto' is frame-aware on TPU (fused time kernel below 16 frames,
+        # XLA time attention at 16+; see resolve_attention_impls)
+        space_impl, time_impl = resolve_attention_impls(
+            cfg.attention_impl, frames)
         # sequence parallelism no longer forces the XLA op: the Pallas
         # kernels carry Shardy partition rules (pallas_attention.py) that
         # keep the sp-sharded grid axis local — frames for the space

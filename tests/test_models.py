@@ -175,3 +175,23 @@ def test_remat_variants_match(rng):
             assert tree == ref_tree, rm
             assert loss == pytest.approx(ref_loss, rel=1e-5), rm
             assert gsum == pytest.approx(ref_gsum, rel=1e-3), rm
+
+
+def test_resolve_attention_impls_policy():
+    """'auto' is frame-aware on TPU: fused time kernel below 16 frames,
+    XLA time attention at 16+ (interleaved A/B, scripts/attn16_ab.py);
+    space stays fused at every frame count.  CPU always resolves to XLA."""
+    from egovlp_tpu.models.video_tower import resolve_attention_impls
+
+    assert resolve_attention_impls("auto", 4, "tpu") == ("pallas", "pallas")
+    assert resolve_attention_impls("auto", 8, "tpu") == ("pallas", "pallas")
+    assert resolve_attention_impls("auto", 16, "tpu") == ("pallas", "xla")
+    assert resolve_attention_impls("auto", 32, "tpu") == ("pallas", "xla")
+    assert resolve_attention_impls("auto", 4, "cpu") == ("xla", "xla")
+    assert resolve_attention_impls("auto", 16, "cpu") == ("xla", "xla")
+    assert resolve_attention_impls("mixed", 4, "tpu") == ("pallas", "xla")
+    assert resolve_attention_impls("mixed", 4, "cpu") == ("xla", "xla")
+    for forced in ("xla", "pallas"):
+        assert resolve_attention_impls(forced, 16, "tpu") == (forced, forced)
+    # default backend arg resolves (cpu in the test env)
+    assert resolve_attention_impls("auto", 4) == ("xla", "xla")

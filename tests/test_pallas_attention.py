@@ -209,7 +209,7 @@ def test_time_n_block_probe_shrinks_on_vmem_failure(monkeypatch, tmp_path):
     monkeypatch.setattr(pa, "_use_interpret", lambda: False)  # pretend TPU
     probed = []
 
-    def fake_probe(f, nb, lb, hd, dtype=None):
+    def fake_probe(f, nb, lb, hd, multi_j=True, dtype=None):
         probed.append(nb)
         return nb <= 16  # pretend only nb<=16 fits this "generation"
 
@@ -263,10 +263,13 @@ def test_time_n_block_probe_grows_when_prior_fits(monkeypatch, tmp_path):
     monkeypatch.setattr(pa, "_NB_CACHE", {})
     monkeypatch.setattr(pa, "_use_interpret", lambda: False)
     monkeypatch.setattr(pa, "_time_kernel_compiles",
-                        lambda f, nb, lb, hd, dtype=None: nb <= 64)
+                        lambda f, nb, lb, hd, multi_j=True, dtype=None:
+                        nb <= 64)
 
-    # f=16 analytic prior is 8; 8->16->32->64 fit, 128 fails, search -> 64
-    assert pa.time_n_block(16, 196, 128, hd=64) == 64
+    # f=16 analytic prior is 8; 8->16->32->64 fit, 128 fails, search -> 64;
+    # pad-balancing keeps the same 4 blocks but shrinks to 56
+    # (4*56 = 224 pad vs 4*64 = 256)
+    assert pa.time_n_block(16, 196, 128, hd=64) == 56
 
 
 def test_time_bsd_batched_body_matches_xla(rng):
