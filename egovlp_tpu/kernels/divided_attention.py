@@ -153,6 +153,77 @@ def _time_bsd(heads, scale):
     return make_time_attention_bsd(heads, scale)
 
 
+def _cls_row_parts(qc, kc, vc, kp, vp, heads, scale, dtype):
+    """CLS-query full-attention row on the pair layout.
+
+    Logits are built in the same cls-first key order as the fused [B, S, D]
+    wrapper so the softmax matches it exactly.  Returns ``[B, 1, D]``.
+    """
+    B, Sp, D = kp.shape
+    hd = D // heads
+    q3c = qc.reshape(B, heads, hd) * scale
+    lg_c = jnp.einsum("bhd,bhd->bh", q3c, kc.reshape(B, heads, hd),
+                      preferred_element_type=jnp.float32)
+    lg_p = jnp.einsum("bhd,bshd->bhs", q3c, kp.reshape(B, Sp, heads, hd),
+                      preferred_element_type=jnp.float32)
+    full = jnp.concatenate([lg_c[:, :, None], lg_p], axis=-1)
+    pr = jax.nn.softmax(full, axis=-1).astype(dtype)
+    oc = jnp.einsum("bhs,bshd->bhd", pr[:, :, 1:],
+                    vp.reshape(B, Sp, heads, hd))
+    oc = oc + pr[:, :, :1] * vc.reshape(B, heads, hd)
+    return oc.reshape(B, 1, D)
+
+
+def _time_xla_parts(qc, kc, vc, qp, kp, vp, *, heads: int, frames: int,
+                    patches: int):
+    """Time-axis divided attention in pure XLA on the PAIR layout.
+
+    The production 16-frame path ('auto' resolves time to XLA at f >= 16;
+    models/video_tower.py::resolve_attention_impls).  Built to minimize HBM
+    layout traffic, which dominates the generic concat+head-split fallback
+    at this shape (HLO traffic audit, docs/ROUND3.md):
+
+      * no ``[cls; patches]`` concatenation — the pair layout feeds the
+        einsums directly (3 x 77 MB copies saved at the 16f shape);
+      * ONE fused transpose per tensor: ``[B,f,n,H,hd] -> [B,n,H,f,hd]``
+        inside the batched dot, instead of the fallback's separate
+        head-split transpose + group swapaxes passes;
+      * the CLS key/value are spliced at the LOGIT level — an
+        ``[*, f, 1]`` concat (~2.5 MB at 16f), not the ``[*, L+1, hd]``
+        k/v group copies (~160 MB) of the generic path.  (For the SPACE
+        axis the trade reverses — L=196 makes the logit block much bigger
+        than the k/v groups, see the module docstring — which is why this
+        fast path is time-only.)
+
+    Semantics identical to ``divided_attention_bsd(..., axis='time',
+    impl='xla')`` (reference VarAttention,
+    /root/reference/model/video_transformer.py:80-137).
+    """
+    B, Sp, D = qp.shape
+    H, hd = heads, D // heads
+    scale = float(hd) ** -0.5
+    dtype = qp.dtype
+    f, n = frames, patches
+
+    cls_out = _cls_row_parts(qc, kc, vc, kp, vp, H, scale, dtype)
+
+    q5 = qp.reshape(B, f, n, H, hd) * scale
+    k5 = kp.reshape(B, f, n, H, hd)
+    v5 = vp.reshape(B, f, n, H, hd)
+    # frame-vs-frame logits per (patch column, head): [B, n, H, f, f]
+    lg = jnp.einsum("bqnhd,bknhd->bnhqk", q5, k5,
+                    preferred_element_type=jnp.float32)
+    # CLS key column, spliced FIRST to match the reference key order
+    lg_cls = jnp.einsum("bqnhd,bhd->bnhq", q5, kc.reshape(B, H, hd),
+                        preferred_element_type=jnp.float32)
+    full = jnp.concatenate([lg_cls[..., None], lg], axis=-1)
+    pr = jax.nn.softmax(full, axis=-1).astype(dtype)
+    out = jnp.einsum("bnhqk,bknhd->bqnhd", pr[..., 1:], v5)
+    out = out + jnp.einsum("bnhq,bhd->bqnhd", pr[..., 0],
+                           vc.reshape(B, H, hd))
+    return cls_out, out.reshape(B, Sp, D)
+
+
 def divided_attention_parts(qc, kc, vc, qp, kp, vp, *, heads: int,
                             frames: int, patches: int, axis: str,
                             impl: str = "pallas"):
@@ -179,6 +250,11 @@ def divided_attention_parts(qc, kc, vc, qp, kp, vp, *, heads: int,
     dtype = qp.dtype
 
     if impl != "pallas":
+        if axis == "time":
+            # native pair-layout XLA path: ~3x less HBM layout traffic
+            # than the concat+head-split fallback (see _time_xla_parts)
+            return _time_xla_parts(qc, kc, vc, qp, kp, vp, heads=heads,
+                                   frames=frames, patches=patches)
         q = jnp.concatenate([qc, qp], axis=1)
         k = jnp.concatenate([kc, kp], axis=1)
         v = jnp.concatenate([vc, vp], axis=1)
@@ -188,17 +264,7 @@ def divided_attention_parts(qc, kc, vc, qp, kp, vp, *, heads: int,
 
     # CLS row: full attention over [cls; patches] (logits built in the same
     # cls-first order as the fused wrapper, so softmax matches exactly).
-    q3c = (qc.reshape(B, heads, hd) * scale)
-    lg_c = jnp.einsum("bhd,bhd->bh", q3c, kc.reshape(B, heads, hd),
-                      preferred_element_type=jnp.float32)
-    lg_p = jnp.einsum("bhd,bshd->bhs", q3c, kp.reshape(B, Sp, heads, hd),
-                      preferred_element_type=jnp.float32)
-    full = jnp.concatenate([lg_c[:, :, None], lg_p], axis=-1)
-    pr = jax.nn.softmax(full, axis=-1).astype(dtype)
-    oc = jnp.einsum("bhs,bshd->bhd", pr[:, :, 1:],
-                    vp.reshape(B, Sp, heads, hd))
-    oc = oc + pr[:, :, :1] * vc.reshape(B, heads, hd)
-    cls_out = oc.reshape(B, 1, D)
+    cls_out = _cls_row_parts(qc, kc, vc, kp, vp, heads, scale, dtype)
 
     # patch tokens: grouped fused kernel on the free [B, f, n, D] view
     qg = qp.reshape(B, frames, patches, D)

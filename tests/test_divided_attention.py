@@ -56,6 +56,48 @@ def test_matches_naive(rng, axis):
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("f,n", [(4, 5), (16, 7)])
+def test_time_xla_parts_matches_generic(rng, f, n):
+    """The native pair-layout XLA time path (_time_xla_parts — the 16f
+    production path) matches the concat+head-split formulation, values and
+    gradients."""
+    from egovlp_tpu.kernels.divided_attention import (
+        divided_attention_bsd, divided_attention_parts)
+
+    B, H, hd = 2, 3, 8
+    D = H * hd
+    Sp = f * n
+    parts = [jnp.asarray(rng.normal(size=(B, 1, D)).astype(np.float32))
+             for _ in range(3)]
+    patches = [jnp.asarray(rng.normal(size=(B, Sp, D)).astype(np.float32))
+               for _ in range(3)]
+
+    def run_parts(qc, kc, vc, qp, kp, vp):
+        oc, op = divided_attention_parts(qc, kc, vc, qp, kp, vp, heads=H,
+                                         frames=f, patches=n, axis="time",
+                                         impl="xla")
+        return jnp.concatenate([oc, op], axis=1)
+
+    def run_generic(qc, kc, vc, qp, kp, vp):
+        q = jnp.concatenate([qc, qp], axis=1)
+        k = jnp.concatenate([kc, kp], axis=1)
+        v = jnp.concatenate([vc, vp], axis=1)
+        return divided_attention_bsd(q, k, v, heads=H, frames=f, patches=n,
+                                     axis="time", impl="xla")
+
+    got = run_parts(*parts, *patches)
+    want = run_generic(*parts, *patches)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    loss = lambda fn: lambda *a: jnp.sum(jnp.sin(fn(*a)))
+    g_got = jax.grad(loss(run_parts), argnums=(0, 3))(*parts, *patches)
+    g_want = jax.grad(loss(run_generic), argnums=(0, 3))(*parts, *patches)
+    for a, b in zip(g_got, g_want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+
 def test_single_frame_space_equals_full_attention(rng):
     """With one frame, space attention == vanilla full attention."""
     B, H, n, hd = 1, 2, 6, 4
