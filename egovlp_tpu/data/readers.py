@@ -225,3 +225,52 @@ def read_image(path: str, pre_size: int = 256) -> np.ndarray:
     if img is None:
         raise IOError(f"cannot read image {path}")
     return _resize_center_crop_cv2(img, pre_size)[None]
+
+
+def load_frames_from_video_path(path: str, num_frames: int,
+                                sample: str = "rand",
+                                rng: Optional[np.random.Generator] = None,
+                                save_dir: Optional[str] = None,
+                                ) -> Tuple[np.ndarray, List[int]]:
+    """Standalone raw-resolution frame loader (demo/debug helper).
+
+    Behavioral reference: /root/reference/utils/video.py:8-40 — interval
+    sampling over the whole video, frames at NATIVE resolution (no resize /
+    crop, unlike the dataset readers), values scaled to [0, 1].  Differences
+    by design:
+
+      * returns channel-LAST float32 ``[T, H, W, 3]`` (the tpu-native layout
+        every transform here consumes) instead of torch CHW;
+      * the reference unconditionally dumps each frame to ``images/*.jpg``;
+        here the dump is opt-in via ``save_dir``;
+      * seeks directly to the sampled index (the reference util does too —
+        only the dataset readers use the seek-to-(idx-1) quirk);
+      * randomness is an explicit numpy Generator.
+
+    Raises ``IOError`` if the video cannot be opened and ``ValueError`` if a
+    sampled frame fails to decode, matching the reference's asserts.
+    """
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise IOError(f"cv2 cannot open {path}")
+    try:
+        vlen = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        if sample == "rand" and rng is None:
+            rng = np.random.default_rng()
+        frame_idxs = sample_frames(num_frames, vlen, sample, rng=rng)
+        frames = []
+        for index in frame_idxs:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, index)
+            ret, frame = cap.read()
+            if not ret:
+                raise ValueError(f"failed to decode frame {index} of {path}")
+            if save_dir is not None:
+                os.makedirs(save_dir, exist_ok=True)
+                cv2.imwrite(os.path.join(save_dir, f"{index}.jpg"), frame)
+            frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+        out = np.stack(frames).astype(np.float32) / 255.0
+    finally:
+        cap.release()
+    return out, frame_idxs

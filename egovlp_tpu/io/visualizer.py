@@ -118,6 +118,53 @@ class RetrievalVisualizer:
         )
 
 
+# --------------------------------------------------------------------------
+# alignment-path grids (reference: utils/visualisation.py)
+# --------------------------------------------------------------------------
+
+_PATH_TP = np.array([64, 191, 64], np.float32)    # predicted AND target
+_PATH_FP = np.array([191, 64, 64], np.float32)    # predicted only
+_PATH_GT = np.array([102, 153, 255], np.float32)  # target
+
+
+def visualise_path(pred, target, window) -> np.ndarray:
+    """Render a prediction-vs-target alignment path as an RGB grid.
+
+    Behavioral reference: /root/reference/utils/visualisation.py:8-38.
+    ``pred``/``target`` are sequences of ``(clip_idx, j)`` coordinates;
+    ``window`` is an ``[H, W]`` cost window whose NaN cells (outside the
+    alignment band) render grey (130/255).  Target cells draw blue, correct
+    predictions green, incorrect red; rows are re-indexed to the unique clip
+    indices appearing in ``target`` (same quirk as the reference).  Returns
+    float32 ``[3, H, W]`` in [0, 1] (CHW, matching the reference so image
+    writers/TB consume it unchanged).
+    """
+    window = np.asarray(window, np.float32)
+    grid = np.full((3,) + window.shape, 255.0, np.float32)
+    grid = np.where(np.isnan(window)[None], 130.0, grid)
+
+    local_idxs = np.unique([t[0] for t in target]).tolist()
+    for t in target:
+        grid[:, local_idxs.index(t[0]), int(t[1])] = _PATH_GT
+    for p in pred:
+        cell = (local_idxs.index(p[0]), int(p[1]))
+        hit = (grid[:, cell[0], cell[1]] == _PATH_GT).all()
+        grid[:, cell[0], cell[1]] = _PATH_TP if hit else _PATH_FP
+    return grid / 255.0
+
+
+def batch_path_vis(pred_dict, target, window) -> np.ndarray:
+    """Stack one ``visualise_path`` grid per prediction method; the
+    ``'min_dist'`` method renders on a zeroed window (no band), mirroring
+    /root/reference/utils/visualisation.py:41-52.  Returns ``[M, 3, H, W]``."""
+    window = np.asarray(window, np.float32)
+    grids = []
+    for key, pred in pred_dict.items():
+        win = np.zeros_like(window) if key == "min_dist" else window
+        grids.append(visualise_path(pred, target, win))
+    return np.stack(grids)
+
+
 def build_visualizer(config, default_web_dir: str
                      ) -> Optional[RetrievalVisualizer]:
     """Instantiate from the config's ``visualizer`` section (the reference's

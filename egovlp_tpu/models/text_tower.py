@@ -21,6 +21,8 @@ import dataclasses
 import flax.linen as nn
 import jax.numpy as jnp
 
+from egovlp_tpu.kernels.fused_ln import FusedLayerNorm
+
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
@@ -80,14 +82,13 @@ class TransformerBlock(nn.Module):
         sa = SelfAttention(cfg, dtype=self.dtype, name="attention")(
             x, attention_mask, deterministic=deterministic
         )
-        x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=self.dtype, name="sa_layer_norm")(
-            sa + x
-        )
+        x = FusedLayerNorm(epsilon=cfg.ln_eps, dtype=self.dtype,
+                           name="sa_layer_norm")(sa + x)
         h = nn.Dense(cfg.hidden_dim, dtype=self.dtype, name="ffn_lin1")(x)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(cfg.dim, dtype=self.dtype, name="ffn_lin2")(h)
         h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
-        return nn.LayerNorm(
+        return FusedLayerNorm(
             epsilon=cfg.ln_eps, dtype=self.dtype, name="output_layer_norm"
         )(h + x)
 
@@ -112,7 +113,7 @@ class DistilBert(nn.Module):
             dtype=self.dtype,
             name="position_embeddings",
         )(pos_ids)
-        x = nn.LayerNorm(
+        x = FusedLayerNorm(
             epsilon=cfg.ln_eps, dtype=self.dtype, name="embeddings_layer_norm"
         )(tok + pos)
         x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)

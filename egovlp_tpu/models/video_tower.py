@@ -33,6 +33,7 @@ import numpy as np
 from jax.ad_checkpoint import checkpoint_name
 
 from egovlp_tpu.kernels.divided_attention import divided_attention_parts
+from egovlp_tpu.kernels.fused_ln import FusedLayerNorm
 
 
 def resolve_attention_impls(cfg_impl: str, frames: int,
@@ -216,7 +217,9 @@ class SpaceTimeBlock(nn.Module):
         applied to both parts with shared parameters, so the tree matches a
         concatenated [B, S, D] layout exactly."""
         cfg = self.cfg
-        ln = lambda name: nn.LayerNorm(epsilon=cfg.ln_eps, dtype=self.dtype, name=name)
+        # FusedLayerNorm == nn.LayerNorm numerics with a memory-lean VJP
+        # (flax's saves f32 [B,S,D] residuals — kernels/fused_ln.py)
+        ln = lambda name: FusedLayerNorm(epsilon=cfg.ln_eps, dtype=self.dtype, name=name)
         both = lambda m, pair: (m(pair[0]), m(pair[1]))
         add = lambda a, b: (a[0] + b[0], a[1] + b[1])
 
@@ -361,8 +364,8 @@ class SpaceTimeTransformer(nn.Module):
                       name=f"block{i:02d}")
             for i in range(cfg.depth)
         ]
-        self.norm = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=self.dtype,
-                                 name="norm")
+        self.norm = FusedLayerNorm(epsilon=cfg.ln_eps, dtype=self.dtype,
+                                   name="norm")
 
     def embed(self, video, *, deterministic: bool = True):
         """[B, T, H, W(, 3)] -> the (cls, patches) activation pair."""

@@ -333,6 +333,15 @@ def run_task(config, resume: Optional[str] = None):
         start_epoch = int(restored["epoch"]) + 1
         logger.info("resumed from %s at epoch %d", resume, start_epoch)
 
+    # ---- ZeRO storage sharding (mesh.zero: 1 = moments, 3 = +params) ---
+    # applied AFTER resume so restored host arrays get the sharded layout
+    zero_stage = int(mesh_cfg.get("zero", 0) or 0)
+    if zero_stage:
+        from egovlp_tpu.core.zero import apply_zero
+
+        step, state = apply_zero(step, state, mesh, stage=zero_stage,
+                                 logger=logger)
+
     tcfg = TrainerConfig(
         epochs=int(trainer_cfg.get("epochs", 10)),
         save_period=int(trainer_cfg.get("save_period", 1)),

@@ -282,3 +282,37 @@ def test_pos_embed_patch_count_mismatch_raises(rng):
     sd["pos_embed"] = np.concatenate([pe, pe[:, -3:]], axis=1)  # wrong count
     with pytest.raises(NotImplementedError, match="pos_embed"):
         video_tower_params(sd, VCFG, template)
+
+
+def test_inspect_checkpoint_torch_and_orbax(rng, tmp_path):
+    """`cli.convert inspect` summarizes both checkpoint formats (the
+    user-facing replacement for the reference's model/load_checkpoint.py
+    debug scratch)."""
+    import torch
+
+    from egovlp_tpu.cli.convert import inspect_checkpoint
+    from egovlp_tpu.io.checkpoints import CheckpointManager
+
+    # torch trainer-style checkpoint with a state_dict field + metadata
+    pth = tmp_path / "ckpt.pth"
+    torch.save({"state_dict": {"module.w": torch.zeros(3, 4),
+                               "module.b": torch.ones(4)},
+                "epoch": 3, "monitor_best": 0.5}, pth)
+    lines = []
+    summary = inspect_checkpoint(str(pth), print_fn=lines.append)
+    assert summary["module.w"][0] == (3, 4)
+    assert summary["module.b"][0] == (4,)
+    assert "16" in lines[-1].split("params")[0] or "0.00M" in lines[-1]
+    assert "'epoch': 3" in lines[-1]
+
+    # orbax tree (CheckpointManager layout)
+    cm = CheckpointManager(str(tmp_path / "orbax"))
+    cm.save_epoch(2, {"params": {"layer": {"kernel": np.zeros((5, 6),
+                                                              np.float32)}},
+                      "epoch": 2, "monitor_best": 1.0})
+    lines = []
+    summary = inspect_checkpoint(str(tmp_path / "orbax" /
+                                     "checkpoint-epoch2"),
+                                 print_fn=lines.append)
+    assert summary["layer.kernel"] == ((5, 6), "float32")
+    assert "1 tensors" in lines[-1] and "'epoch': 2" in lines[-1]

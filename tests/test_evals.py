@@ -199,3 +199,37 @@ def test_charades_eval_with_visualizer(charades_root, vocab_file,  # noqa: F811
     assert page.exists()
     assert "VID01EGO.mp4" in page.read_text()
     assert "GT rank" not in page.read_text()  # multi-label: no GT highlight
+
+
+def test_visualise_path_grid_semantics():
+    """Alignment-path grid (reference utils/visualisation.py:8-38): NaN
+    band cells grey, targets blue, correct predictions green, wrong red;
+    rows re-indexed to unique target clip ids."""
+    from egovlp_tpu.io.visualizer import batch_path_vis, visualise_path
+
+    window = np.zeros((5, 6), np.float32)
+    window[0, 5] = np.nan
+    pred = [(1, 1), (3, 2)]
+    target = [(1, 1), (3, 4)]
+    grid = visualise_path(pred, target, window)
+    assert grid.shape == (3, 5, 6) and grid.dtype == np.float32
+    # unique target clip ids [1, 3] -> rows 0, 1
+    np.testing.assert_allclose(grid[:, 0, 1] * 255, [64, 191, 64])    # tp
+    np.testing.assert_allclose(grid[:, 1, 4] * 255, [102, 153, 255])  # gt
+    np.testing.assert_allclose(grid[:, 1, 2] * 255, [191, 64, 64])    # fp
+    np.testing.assert_allclose(grid[:, 0, 5] * 255, [130, 130, 130])  # NaN
+    np.testing.assert_allclose(grid[:, 4, 0] * 255, [255, 255, 255])
+    # a prediction whose clip id has no target row raises, exactly like
+    # the reference's list.index (its own __main__ demo input trips this)
+    with pytest.raises(ValueError):
+        visualise_path([(2, 4)], target, window)
+
+    # a wrong prediction on a target row renders red
+    grid2 = visualise_path([(3, 0)], target, window)
+    np.testing.assert_allclose(grid2[:, 1, 0] * 255, [191, 64, 64])   # fp
+
+    batch = batch_path_vis({"dtw": [(1, 1)], "min_dist": [(3, 4)]},
+                           target, window)
+    assert batch.shape == (2, 3, 5, 6)
+    # min_dist renders on a zeroed window: the NaN cell turns white
+    np.testing.assert_allclose(batch[1][:, 0, 5] * 255, [255, 255, 255])

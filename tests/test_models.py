@@ -195,3 +195,44 @@ def test_resolve_attention_impls_policy():
         assert resolve_attention_impls(forced, 16, "tpu") == (forced, forced)
     # default backend arg resolves (cpu in the test env)
     assert resolve_attention_impls("auto", 4) == ("xla", "xla")
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_fused_layer_norm_matches_flax(rng, dtype):
+    """FusedLayerNorm (memory-lean VJP, kernels/fused_ln.py) reproduces
+    nn.LayerNorm values AND input/param gradients."""
+    from flax import linen as nn
+
+    from egovlp_tpu.kernels.fused_ln import FusedLayerNorm
+
+    x = jnp.asarray(rng.normal(size=(3, 7, 24)).astype(np.float32), dtype)
+    ref = nn.LayerNorm(epsilon=1e-6, dtype=dtype)
+    fused = FusedLayerNorm(epsilon=1e-6, dtype=dtype)
+    params = ref.init(jax.random.PRNGKey(0), x)
+    # perturb scale/bias so gradients are non-trivial
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.1 * jnp.arange(p.size, dtype=p.dtype), params)
+    assert jax.tree_util.tree_structure(
+        fused.init(jax.random.PRNGKey(0), x)) == \
+        jax.tree_util.tree_structure(params)
+
+    tol = 1e-6 if dtype == jnp.float32 else 2e-2
+    got = fused.apply(params, x)
+    want = ref.apply(params, x)
+    assert got.dtype == want.dtype
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=tol, atol=tol)
+
+    def loss(mod):
+        def f(params, x):
+            return jnp.sum(jnp.sin(mod.apply(params, x).astype(jnp.float32)))
+        return f
+
+    g_got = jax.grad(loss(fused), argnums=(0, 1))(params, x)
+    g_want = jax.grad(loss(ref), argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g_got),
+                    jax.tree_util.tree_leaves(g_want)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=5 * tol, atol=5 * tol)

@@ -253,7 +253,7 @@ def _tiny_cfg(attention_impl, sp=None, frames=4):
     )
 
 
-def _egoclip_loss(cfg, mesh_spec, rng, tp=False):
+def _egoclip_loss(cfg, mesh_spec, rng, tp=False, zero=0, steps=1):
     from egovlp_tpu.core.mesh import replicated, shard_batch
     from egovlp_tpu.core.tp import shard_state_tp
     from egovlp_tpu.models import DualEncoder
@@ -281,15 +281,21 @@ def _egoclip_loss(cfg, mesh_spec, rng, tp=False):
         model, params, make_optimizer(1e-4, (60,), 10))
     state = (shard_state_tp(state, mesh) if tp
              else jax.device_put(state, replicated(mesh)))
+    if zero:
+        from egovlp_tpu.core.zero import apply_zero
+
+        # tiny-model leaves are small; lower min_size so sharding happens
+        step, state = apply_zero(step, state, mesh, stage=zero, min_size=512)
     batch = shard_batch(host_batch, mesh)
     with mesh:
-        new_state, loss = step(state, batch, jax.random.PRNGKey(0))
+        for _ in range(steps):
+            state, loss = step(state, batch, jax.random.PRNGKey(0))
     # post-UPDATE attention param probe: the partitioned BACKWARD kernels
     # feed these gradients, so comparing it across impl/mesh variants
     # catches wrong bwd partition rules, not just fwd parity
     probe = np.asarray(jax.device_get(
-        new_state.params["video_model"]["block00"]["attn"]["qkv"]["kernel"]))
-    return float(loss), probe
+        state.params["video_model"]["block00"]["attn"]["qkv"]["kernel"]))
+    return float(loss), probe, state
 
 
 def test_pallas_attention_under_dp_mesh_matches_xla(rng):
@@ -299,9 +305,9 @@ def test_pallas_attention_under_dp_mesh_matches_xla(rng):
     update (i.e. gradients through the partitioned backward kernels) as
     the XLA path."""
     rng2 = np.random.default_rng(0)
-    loss_xla, p_xla = _egoclip_loss(_tiny_cfg("xla"), MeshSpec(), rng2)
+    loss_xla, p_xla, _ = _egoclip_loss(_tiny_cfg("xla"), MeshSpec(), rng2)
     rng2 = np.random.default_rng(0)
-    loss_pal, p_pal = _egoclip_loss(_tiny_cfg("pallas"), MeshSpec(), rng2)
+    loss_pal, p_pal, _ = _egoclip_loss(_tiny_cfg("pallas"), MeshSpec(), rng2)
     assert loss_pal == pytest.approx(loss_xla, rel=2e-4)
     np.testing.assert_allclose(p_pal, p_xla, rtol=5e-4, atol=5e-6)
 
@@ -311,9 +317,9 @@ def test_pallas_attention_under_dpxtp_mesh(rng):
     loss and updates match pure-dp (bwd kernels partition correctly when
     the qkv params/grads are model-axis sharded)."""
     rng2 = np.random.default_rng(0)
-    loss_dp, p_dp = _egoclip_loss(_tiny_cfg("pallas"), MeshSpec(), rng2)
+    loss_dp, p_dp, _ = _egoclip_loss(_tiny_cfg("pallas"), MeshSpec(), rng2)
     rng2 = np.random.default_rng(0)
-    loss_tp, p_tp = _egoclip_loss(_tiny_cfg("pallas"),
+    loss_tp, p_tp, _ = _egoclip_loss(_tiny_cfg("pallas"),
                                   MeshSpec(data=4, model=2), rng2, tp=True)
     assert loss_tp == pytest.approx(loss_dp, rel=2e-4)
     np.testing.assert_allclose(p_tp, p_dp, rtol=5e-4, atol=5e-6)
@@ -354,9 +360,9 @@ def test_pallas_attention_composes_with_sequence_parallel(rng):
     XLA op under sequence_parallel — the kernels' partition rules keep the
     sp-sharded grid axis local (space: frames; time fwd: patch columns)."""
     rng2 = np.random.default_rng(0)
-    loss_dp, p_dp = _egoclip_loss(_tiny_cfg("pallas"), MeshSpec(), rng2)
+    loss_dp, p_dp, _ = _egoclip_loss(_tiny_cfg("pallas"), MeshSpec(), rng2)
     rng2 = np.random.default_rng(0)
-    loss_sp, p_sp = _egoclip_loss(_tiny_cfg("pallas", sp="model"),
+    loss_sp, p_sp, _ = _egoclip_loss(_tiny_cfg("pallas", sp="model"),
                                   MeshSpec(data=4, model=2), rng2)
     assert loss_sp == pytest.approx(loss_dp, rel=2e-4)
     # updates too: the grid-sharded bwd kernels (space) and the n-gathered
@@ -537,3 +543,83 @@ def test_pipeline_parallel_composes_with_data_parallel(rng, impl):
         lambda v: jnp.sum(tower.apply(variables, v) ** 2))(video)
     np.testing.assert_allclose(np.asarray(g_pp), np.asarray(g_seq),
                                rtol=1e-4, atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# ZeRO storage sharding (core/zero.py)
+# --------------------------------------------------------------------------
+
+def _data_sharded_leaves(tree):
+    out = []
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        spec = getattr(getattr(leaf, "sharding", None), "spec", None)
+        if spec and any(e == DATA_AXIS for e in spec):
+            out.append((path, leaf))
+    return out
+
+
+def test_zero1_matches_replicated(rng):
+    """ZeRO stage 1 (optimizer moments sharded over the data axis) is pure
+    storage layout: two train steps produce the same loss and parameter
+    update as the fully-replicated baseline — and the moments REALLY live
+    as data-axis shards (non-vacuous per the r3 mesh-detection lesson)."""
+    rng2 = np.random.default_rng(0)
+    loss_rep, p_rep, _ = _egoclip_loss(_tiny_cfg("xla"), MeshSpec(), rng2,
+                                       steps=2)
+    rng2 = np.random.default_rng(0)
+    loss_z, p_z, st = _egoclip_loss(_tiny_cfg("xla"), MeshSpec(), rng2,
+                                    zero=1, steps=2)
+    assert loss_z == pytest.approx(loss_rep, rel=2e-4)
+    np.testing.assert_allclose(p_z, p_rep, rtol=5e-4, atol=5e-6)
+
+    sharded = _data_sharded_leaves(st.opt_state)
+    assert sharded, "no optimizer moment ended up data-sharded"
+    # a sharded moment's addressable shards are 1/8 of the global rows
+    leaf = sharded[0][1]
+    dim = list(leaf.sharding.spec).index(DATA_AXIS)
+    assert all(s.data.shape[dim] == leaf.shape[dim] // 8
+               for s in leaf.addressable_shards)
+    # stage 1 leaves params fully replicated
+    assert not _data_sharded_leaves(st.params)
+
+
+def test_zero3_matches_replicated(rng):
+    """Stage 3 also shards parameter STORAGE (gathered at use)."""
+    rng2 = np.random.default_rng(0)
+    loss_rep, p_rep, _ = _egoclip_loss(_tiny_cfg("xla"), MeshSpec(), rng2,
+                                       steps=2)
+    rng2 = np.random.default_rng(0)
+    loss_z, p_z, st = _egoclip_loss(_tiny_cfg("xla"), MeshSpec(), rng2,
+                                    zero=3, steps=2)
+    assert loss_z == pytest.approx(loss_rep, rel=2e-4)
+    np.testing.assert_allclose(p_z, p_rep, rtol=5e-4, atol=5e-6)
+    assert _data_sharded_leaves(st.params), "no param storage-sharded"
+
+
+def test_zero_composes_with_tensor_parallel(rng):
+    """(data=4, model=2) mesh with tp rules + ZeRO-1: same loss/update as
+    pure-dp, and at least one moment leaf is sharded over BOTH axes."""
+    rng2 = np.random.default_rng(0)
+    loss_dp, p_dp, _ = _egoclip_loss(_tiny_cfg("pallas"), MeshSpec(), rng2)
+    rng2 = np.random.default_rng(0)
+    loss_z, p_z, st = _egoclip_loss(_tiny_cfg("pallas"),
+                                    MeshSpec(data=4, model=2), rng2,
+                                    tp=True, zero=1)
+    assert loss_z == pytest.approx(loss_dp, rel=2e-4)
+    np.testing.assert_allclose(p_z, p_dp, rtol=5e-4, atol=5e-6)
+
+    from egovlp_tpu.core.mesh import MODEL_AXIS
+
+    both = [
+        leaf for _, leaf in _data_sharded_leaves(st.opt_state)
+        if any(e == MODEL_AXIS for e in leaf.sharding.spec)
+    ]
+    assert both, "no moment sharded over both data and model axes"
+
+
+def test_zero_rejects_bad_stage():
+    from egovlp_tpu.core.zero import zero_shardings
+
+    mesh = create_mesh(MeshSpec())
+    with pytest.raises(ValueError):
+        zero_shardings({"opt_state": jnp.zeros((8, 8))}, mesh, stage=2)

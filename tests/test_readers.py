@@ -147,3 +147,52 @@ def test_native_true_frame_index_vs_cv2_quirk(tmp_path):
     f2, _ = c.read_frames([20], pre_size=32)
     np.testing.assert_allclose(_frame_level(f2), [76], atol=6)  # idx-1
     c.close()
+
+
+def test_load_frames_from_video_path_uniform(video, tmp_path):
+    """Standalone raw-resolution loader (reference utils/video.py:8-40):
+    native frame size, [0,1] float, interval-midpoint indices, optional
+    jpg dump."""
+    from egovlp_tpu.data.readers import load_frames_from_video_path
+
+    frames, idxs = load_frames_from_video_path(video, 4, sample="uniform",
+                                               save_dir=str(tmp_path / "im"))
+    assert frames.shape == (4, 48, 64, 3) and frames.dtype == np.float32
+    assert 0.0 <= frames.min() and frames.max() <= 1.0
+    # uniform midpoints of 4 intervals over 60 frames: (lo + hi)//2
+    iv = np.linspace(0, 60, 5).astype(int)
+    want_idx = [(iv[i] + iv[i + 1] - 1) // 2 for i in range(4)]
+    assert idxs == want_idx
+    # gray level encodes the DECODED index (seek straight to idx here,
+    # not the dataset readers' idx-1 quirk)
+    lv = frames.astype(np.float64).mean(axis=(1, 2, 3)) * 255
+    np.testing.assert_allclose(lv, np.minimum(np.array(idxs) * 4, 255),
+                               atol=6)
+    dumped = sorted(os.listdir(tmp_path / "im"))
+    assert dumped == sorted(f"{i}.jpg" for i in idxs)
+
+
+def test_load_frames_from_video_path_rand_reproducible(video):
+    from egovlp_tpu.data.readers import load_frames_from_video_path
+
+    _, a = load_frames_from_video_path(video, 6, "rand",
+                                       rng=np.random.default_rng(3))
+    _, b = load_frames_from_video_path(video, 6, "rand",
+                                       rng=np.random.default_rng(3))
+    assert a == b and len(a) == 6
+    # each index falls inside its interval [iv[i], iv[i+1]-1)
+    iv = np.linspace(0, 60, 7).astype(int)
+    assert all(iv[i] <= a[i] < iv[i + 1] for i in range(6))
+
+
+def test_load_frames_from_video_path_short_video(tmp_path):
+    """num_frames > vlen degrades to vlen frames (acc_samples=min), like
+    the reference."""
+    from egovlp_tpu.data.readers import load_frames_from_video_path
+
+    p = make_video(tmp_path / "short.mp4", n_frames=3)
+    frames, idxs = load_frames_from_video_path(p, 8, sample="uniform")
+    assert frames.shape[0] == 3 and len(idxs) == 3
+
+    with pytest.raises(IOError):
+        load_frames_from_video_path(str(tmp_path / "nope.mp4"), 4)
