@@ -41,9 +41,19 @@ def make_optimizer(base_lr: float = 3e-5,
                    steps_per_epoch: int = 1,
                    weight_decay: float = 0.0,
                    max_grad_norm: Optional[float] = None,
-                   gamma: float = 0.1) -> optax.GradientTransformation:
+                   gamma: float = 0.1,
+                   mu_dtype: Optional[str] = None
+                   ) -> optax.GradientTransformation:
+    """``mu_dtype`` (e.g. ``"bfloat16"``) stores AdamW's FIRST moment in a
+    reduced dtype — 4 bytes/param less HBM (0.9 GB on the 220M dual
+    encoder), freeing activation headroom on the memory-bound 16f
+    fine-tune.  The moment is upcast for the update, so only its storage
+    rounds; the variance (which controls the step SIZE via rsqrt) stays
+    f32.  Beyond the reference (torch AdamW is f32-only); off by default.
+    """
     schedule = make_step_lr(base_lr, milestones, steps_per_epoch, gamma)
-    tx = optax.adamw(schedule, weight_decay=weight_decay, eps=1e-6)
+    tx = optax.adamw(schedule, weight_decay=weight_decay, eps=1e-6,
+                     mu_dtype=jnp.dtype(mu_dtype) if mu_dtype else None)
     if max_grad_norm:
         tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
     return tx

@@ -343,3 +343,26 @@ def test_cli_eval_pnr_smoke(tiny_config, tmp_path):
     out = json.loads(text[text.rfind("\n{") + 1:] if "\n{" in text else text)
     assert any("err" in k.lower() or "dist" in k.lower() or "sec" in k.lower()
                for k in out), out
+
+
+def test_run_task_bf16_moments_and_zero(tiny_config):
+    """optimizer.args.mu_dtype plus mesh.zero ride the full recipe path:
+    the returned state's first moments are bf16 AND data-axis sharded."""
+    import jax
+    import jax.numpy as jnp
+
+    from egovlp_tpu.core.mesh import DATA_AXIS
+
+    cfg = Config(dict(tiny_config))
+    cfg["optimizer"] = {"type": "AdamW",
+                        "args": {"lr": 1e-3, "mu_dtype": "bfloat16"}}
+    cfg["mesh"] = {"zero": 1}
+    state = run_task(cfg)
+    leaves = jax.tree_util.tree_leaves(state.opt_state)
+    mus = [l for l in leaves
+           if hasattr(l, "dtype") and l.dtype == jnp.bfloat16]
+    assert mus, "no bf16 moment leaf on the recipe path"
+    assert any(
+        any(e == DATA_AXIS for e in getattr(l.sharding, "spec", ()))
+        for l in leaves if hasattr(l, "sharding")
+    ), "mesh.zero=1 did not shard any moment over the data axis"

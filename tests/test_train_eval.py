@@ -203,3 +203,34 @@ def test_egomcq_eval_batched_matches_batch1(egoclip_root, vocab_file,  # noqa: F
 
     m1, m8 = run(1), run(8)
     assert m1 == pytest.approx(m8), (m1, m8)
+
+
+def test_make_optimizer_bf16_moments():
+    """optimizer.args.mu_dtype="bfloat16" stores AdamW's first moment in
+    bf16 (4 bytes/param saved) while the variance stays f32; a few updates
+    track the all-f32 optimizer closely."""
+    import optax
+
+    params = {"w": jnp.linspace(-1.0, 1.0, 64, dtype=jnp.float32)}
+    grads = {"w": jnp.sin(jnp.arange(64, dtype=jnp.float32))}
+
+    tx32 = make_optimizer(1e-3, (60,), 10)
+    txbf = make_optimizer(1e-3, (60,), 10, mu_dtype="bfloat16")
+    s32, sbf = tx32.init(params), txbf.init(params)
+
+    mus = [l for l in jax.tree_util.tree_leaves(sbf)
+           if hasattr(l, "dtype") and l.dtype == jnp.bfloat16]
+    assert mus, "no bf16 moment leaf"
+    nus32 = [l for l in jax.tree_util.tree_leaves(sbf)
+             if hasattr(l, "dtype") and l.dtype == jnp.float32
+             and l.shape == (64,)]
+    assert nus32, "variance should stay f32"
+
+    p32, pbf = params, params
+    for _ in range(3):
+        u32, s32 = tx32.update(grads, s32, p32)
+        ubf, sbf = txbf.update(grads, sbf, pbf)
+        p32 = optax.apply_updates(p32, u32)
+        pbf = optax.apply_updates(pbf, ubf)
+    np.testing.assert_allclose(np.asarray(pbf["w"]), np.asarray(p32["w"]),
+                               rtol=1e-2, atol=2e-5)
