@@ -9,7 +9,10 @@ reports per-round ms plus medians.  The decision rule: only flip the 'auto'
 policy if one side wins every round by >1.5%.
 
 Run via nohup (never kill a TPU job):  nohup python scripts/attn16_ab.py &
-Optional first arg = frame count (default 16) to locate the crossover.
+Optional first arg = frame count (default 16) to locate the crossover;
+optional second arg = comma-separated impl variants (default
+``pallas,mixed``; e.g. ``mixed,xla`` asks whether the Pallas SPACE kernel
+still pays at 16f once its operand-layout copies are counted).
 
 Measured (interleaved, this chip): f=16 mixed wins 6/6 rounds, +2.1%
 (900.9 vs 920.0 ms); f=4 the fused time kernel wins ~29% at the full-step
@@ -38,6 +41,8 @@ def main():
     from egovlp_tpu.models import SpaceTimeTransformer, VideoTowerConfig
 
     B, T, R = 16, int(sys.argv[1]) if len(sys.argv) > 1 else 16, 224
+    variants = (sys.argv[2].split(",") if len(sys.argv) > 2
+                else ["pallas", "mixed"])
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.random((B, T, R, R * 3), np.float32),
                          jnp.bfloat16)
@@ -45,7 +50,7 @@ def main():
 
     steps = {}
     params = None
-    for name, impl in (("pallas", "pallas"), ("mixed", "mixed")):
+    for name, impl in [(v, v) for v in variants]:
         model = SpaceTimeTransformer(
             VideoTowerConfig(num_frames=T, attention_impl=impl,
                              remat="attn_out"),
@@ -81,13 +86,14 @@ def main():
               flush=True)
 
     med = {k: float(np.median(v)) for k, v in times.items()}
-    wins_mixed = sum(m < p for p, m in zip(times["pallas"], times["mixed"]))
+    a, b = variants[0], variants[1]
+    wins_b = sum(y < x for x, y in zip(times[a], times[b]))
     print(json.dumps({
         "metric": "attn16_ab_fwd_bwd_ms",
         "median": {k: round(v, 1) for k, v in med.items()},
         "per_round": {k: [round(x, 1) for x in v] for k, v in times.items()},
-        "mixed_wins_rounds": wins_mixed,
-        "mixed_speedup_pct": round((med["pallas"] / med["mixed"] - 1) * 100, 2),
+        f"{b}_wins_rounds": wins_b,
+        f"{b}_speedup_pct": round((med[a] / med[b] - 1) * 100, 2),
     }))
 
 

@@ -7,6 +7,9 @@ clips/s + ms/step per variant (or the OOM error), plus the step FLOPs so a
 16f MFU line can be derived.
 
 Run via nohup (never kill a TPU job):  nohup python scripts/remat_ab.py &
+Optional argv: [variants_csv] [mu_dtype] — e.g. ``none,mlp bfloat16``
+re-probes the policies that used to OOM once FusedLayerNorm (+fused-LN
+VJP) and bf16 first moments have freed HBM.
 """
 import json
 import os
@@ -44,7 +47,10 @@ def main():
     key = jax.random.PRNGKey(0)
     out = {}
 
-    for rm in ("attn_out", "attn", "block"):
+    variants = (sys.argv[1].split(",") if len(sys.argv) > 1
+                else ["attn_out", "attn", "block"])
+    mu_dtype = sys.argv[2] if len(sys.argv) > 2 else None
+    for rm in variants:
         try:
             cfg = DualEncoderConfig(video=VideoTowerConfig(
                 num_frames=T, remat=(False if rm == "none" else rm)))
@@ -55,7 +61,8 @@ def main():
             )["params"]
             state = jax.device_put(
                 create_train_state(model, params,
-                                   make_optimizer(3e-5, (60, 80), 1000)),
+                                   make_optimizer(3e-5, (60, 80), 1000,
+                                                  mu_dtype=mu_dtype)),
                 replicated(mesh))
             step = make_epic_train_step(loss_type="MaxMarginRankingLoss",
                                         input_res=R)
