@@ -35,7 +35,11 @@ from jax.sharding import PartitionSpec as P
 
 def constrain_tokens(xp: jax.Array, *, frames: int, patches: int,
                      attend_axis: str, axis_name: str) -> jax.Array:
-    """Shard ``xp [B, frames*patches, D]`` over the grid axis NOT attended.
+    """Shard the patch tokens over the grid axis NOT attended.
+
+    ``xp`` is the tower's grid layout ``[B, frames, patches, D]`` (the
+    constraint applies directly — no reshape) or flat
+    ``[B, frames*patches, D]`` (reshaped through the grid and back).
 
     attend_axis='time'  -> shard patches (each chip holds whole frame stacks
                            for a patch-column slice);
@@ -49,14 +53,18 @@ def constrain_tokens(xp: jax.Array, *, frames: int, patches: int,
     mesh = current_mesh()  # NOT get_abstract_mesh: empty under `with mesh:`
     if mesh is None or axis_name not in getattr(mesh, "shape", {}):
         return xp
-    B, S, D = xp.shape
-    assert S == frames * patches, (S, frames, patches)
-    grid = xp.reshape(B, frames, patches, D)
     if attend_axis == "time":
         spec = P(None, None, axis_name, None)
     elif attend_axis == "space":
         spec = P(None, axis_name, None, None)
     else:
         raise ValueError(attend_axis)
+    if xp.ndim == 4:
+        assert xp.shape[1:3] == (frames, patches), (xp.shape, frames,
+                                                    patches)
+        return jax.lax.with_sharding_constraint(xp, spec)
+    B, S, D = xp.shape
+    assert S == frames * patches, (S, frames, patches)
+    grid = xp.reshape(B, frames, patches, D)
     grid = jax.lax.with_sharding_constraint(grid, spec)
     return grid.reshape(B, S, D)

@@ -157,19 +157,35 @@ def _cls_row_parts(qc, kc, vc, kp, vp, heads, scale, dtype):
     """CLS-query full-attention row on the pair layout.
 
     Logits are built in the same cls-first key order as the fused [B, S, D]
-    wrapper so the softmax matches it exactly.  Returns ``[B, 1, D]``.
+    wrapper so the softmax matches it exactly.  ``kp``/``vp`` may be flat
+    ``[B, Sp, D]`` or the grid ``[B, f, n, D]`` — on the grid layout the
+    head split is a FREE last-dim reshape and only the tiny f32 logits ever
+    get flattened.  Returns ``[B, 1, D]``.
     """
-    B, Sp, D = kp.shape
+    B, D = kp.shape[0], kp.shape[-1]
     hd = D // heads
     q3c = qc.reshape(B, heads, hd) * scale
     lg_c = jnp.einsum("bhd,bhd->bh", q3c, kc.reshape(B, heads, hd),
                       preferred_element_type=jnp.float32)
-    lg_p = jnp.einsum("bhd,bshd->bhs", q3c, kp.reshape(B, Sp, heads, hd),
-                      preferred_element_type=jnp.float32)
+    if kp.ndim == 4:
+        k5 = kp.reshape(*kp.shape[:3], heads, hd)
+        v5 = vp.reshape(*vp.shape[:3], heads, hd)
+        lg_p = jnp.einsum("bhd,bfnhd->bhfn", q3c, k5,
+                          preferred_element_type=jnp.float32
+                          ).reshape(B, heads, -1)
+    else:
+        Sp = kp.shape[1]
+        k5 = kp.reshape(B, Sp, heads, hd)
+        v5 = vp.reshape(B, Sp, heads, hd)
+        lg_p = jnp.einsum("bhd,bshd->bhs", q3c, k5,
+                          preferred_element_type=jnp.float32)
     full = jnp.concatenate([lg_c[:, :, None], lg_p], axis=-1)
     pr = jax.nn.softmax(full, axis=-1).astype(dtype)
-    oc = jnp.einsum("bhs,bshd->bhd", pr[:, :, 1:],
-                    vp.reshape(B, Sp, heads, hd))
+    if kp.ndim == 4:
+        prp = pr[:, :, 1:].reshape(B, heads, kp.shape[1], kp.shape[2])
+        oc = jnp.einsum("bhfn,bfnhd->bhd", prp, v5)
+    else:
+        oc = jnp.einsum("bhs,bshd->bhd", pr[:, :, 1:], v5)
     oc = oc + pr[:, :, :1] * vc.reshape(B, heads, hd)
     return oc.reshape(B, 1, D)
 
@@ -198,8 +214,17 @@ def _time_xla_parts(qc, kc, vc, qp, kp, vp, *, heads: int, frames: int,
     Semantics identical to ``divided_attention_bsd(..., axis='time',
     impl='xla')`` (reference VarAttention,
     /root/reference/model/video_transformer.py:80-137).
+
+    ``qp/kp/vp`` may be flat ``[B, Sp, D]`` or the grid ``[B, f, n, D]``
+    (the tower's native layout); the output rank matches the input.  On
+    the grid layout the 5-D head split below is a FREE last-dim reshape
+    — on the flat layout it is a physical re-tiling copy (~77 MB per
+    tensor at the 16f shape; the audit line that motivated the tower's
+    grid layout, scripts/hlo_traffic.py).
     """
-    B, Sp, D = qp.shape
+    grid_in = qp.ndim == 4
+    B, D = qp.shape[0], qp.shape[-1]
+    Sp = frames * patches
     H, hd = heads, D // heads
     scale = float(hd) ** -0.5
     dtype = qp.dtype
@@ -221,7 +246,7 @@ def _time_xla_parts(qc, kc, vc, qp, kp, vp, *, heads: int, frames: int,
     out = jnp.einsum("bnhqk,bknhd->bqnhd", pr[..., 1:], v5)
     out = out + jnp.einsum("bnhq,bhd->bqnhd", pr[..., 0],
                            vc.reshape(B, H, hd))
-    return cls_out, out.reshape(B, Sp, D)
+    return cls_out, out.reshape((B, f, n, D) if grid_in else (B, Sp, D))
 
 
 def divided_attention_parts(qc, kc, vc, qp, kp, vp, *, heads: int,
@@ -231,9 +256,15 @@ def divided_attention_parts(qc, kc, vc, qp, kp, vp, *, heads: int,
 
     Args:
       qc, kc, vc: ``[B, 1, D]`` CLS projections.
-      qp, kp, vp: ``[B, frames * patches, D]`` patch-token projections.
+      qp, kp, vp: patch-token projections, flat ``[B, frames*patches, D]``
+        or the grid layout ``[B, frames, patches, D]`` (the tower's native
+        form: the Pallas kernels consume the grid directly, so NO
+        re-tiling reshape copy is paid on either side of the kernel —
+        at the 16f shape the flat layout costs ~30 GB/step of pure layout
+        copies, scripts/hlo_traffic.py).
 
-    Returns ``(cls_out [B, 1, D], out_p [B, frames * patches, D])``.
+    Returns ``(cls_out [B, 1, D], out_p)`` with ``out_p`` in the same
+    rank/layout as the ``qp`` input.
 
     This is the zero-copy fast path: when the tower keeps CLS and patch
     activations as two arrays, every reshape here is free (contiguous), so
@@ -244,7 +275,9 @@ def divided_attention_parts(qc, kc, vc, qp, kp, vp, *, heads: int,
     ``divided_attention_bsd`` (reference VarAttention,
     /root/reference/model/video_transformer.py:80-137).
     """
-    B, Sp, D = qp.shape
+    grid_in = qp.ndim == 4
+    B, D = qp.shape[0], qp.shape[-1]
+    Sp = frames * patches
     hd = D // heads
     scale = float(hd) ** -0.5
     dtype = qp.dtype
@@ -252,31 +285,43 @@ def divided_attention_parts(qc, kc, vc, qp, kp, vp, *, heads: int,
     if impl != "pallas":
         if axis == "time":
             # native pair-layout XLA path: ~3x less HBM layout traffic
-            # than the concat+head-split fallback (see _time_xla_parts)
+            # than the concat+head-split fallback (see _time_xla_parts;
+            # rank-preserving, so the grid layout passes straight through)
             return _time_xla_parts(qc, kc, vc, qp, kp, vp, heads=heads,
                                    frames=frames, patches=patches)
-        q = jnp.concatenate([qc, qp], axis=1)
-        k = jnp.concatenate([kc, kp], axis=1)
-        v = jnp.concatenate([vc, vp], axis=1)
+        # space XLA fallback: the generic concat path wants flat [B, S, D]
+        # (non-production on TPU — 'auto' always picks the space kernel;
+        # on CPU/interpret the flatten is layout-free)
+        flat = (lambda t: t.reshape(B, Sp, D)) if grid_in else (lambda t: t)
+        q = jnp.concatenate([qc, flat(qp)], axis=1)
+        k = jnp.concatenate([kc, flat(kp)], axis=1)
+        v = jnp.concatenate([vc, flat(vp)], axis=1)
         out = divided_attention_bsd(q, k, v, heads=heads, frames=frames,
                                     patches=patches, axis=axis, impl=impl)
-        return out[:, :1], out[:, 1:]
+        op = out[:, 1:]
+        return out[:, :1], (op.reshape(B, frames, patches, D) if grid_in
+                            else op)
 
     # CLS row: full attention over [cls; patches] (logits built in the same
     # cls-first order as the fused wrapper, so softmax matches exactly).
     cls_out = _cls_row_parts(qc, kc, vc, kp, vp, heads, scale, dtype)
 
-    # patch tokens: grouped fused kernel on the free [B, f, n, D] view
-    qg = qp.reshape(B, frames, patches, D)
-    kg = kp.reshape(B, frames, patches, D)
-    vg = vp.reshape(B, frames, patches, D)
+    # patch tokens: grouped fused kernel on the [B, f, n, D] grid — the
+    # kernels' native operand layout, so a grid-layout caller pays ZERO
+    # reshape copies here (a flat caller pays the f x n re-tiling)
+    if grid_in:
+        qg, kg, vg = qp, kp, vp
+    else:
+        qg = qp.reshape(B, frames, patches, D)
+        kg = kp.reshape(B, frames, patches, D)
+        vg = vp.reshape(B, frames, patches, D)
     if axis == "space":
         out_p = _space_bsd(heads, scale)(qg, kg, vg, kc, vc)
     else:
         # the time kernel pads patch columns to its probed n-block
         # internally (pallas_attention._time_fwd_bsd_call)
         out_p = _time_bsd(heads, scale)(qg, kg, vg, kc, vc)
-    return cls_out, out_p.reshape(B, Sp, D)
+    return cls_out, (out_p if grid_in else out_p.reshape(B, Sp, D))
 
 
 def divided_attention_bsd(q, k, v, *, heads: int, frames: int, patches: int,

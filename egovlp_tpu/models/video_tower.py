@@ -148,7 +148,7 @@ class VarAttention(nn.Module):
     @nn.compact
     def __call__(self, x, frames: int, patches: int, axis: str,
                  deterministic: bool = True):
-        """``x`` is the ``(cls [B,1,D], patches [B,F*N,D])`` activation pair
+        """``x`` is the ``(cls [B,1,D], patches [B,T,n,D])`` activation pair
         (see SpaceTimeBlock); shared Dense modules are applied to both parts
         so the parameter tree is identical to a concatenated layout.  All
         non-array args are positional so nn.remat can mark them static."""
@@ -288,9 +288,15 @@ class SpaceTimeBlock(nn.Module):
         keep = 1.0 - self.drop_path
         rng = self.make_rng("dropout")
         # ONE per-sample mask applied to both parts (a token-independent
-        # path drop, exactly as on a concatenated layout)
-        mask = jax.random.bernoulli(rng, keep, (pair[1].shape[0], 1, 1))
-        return (pair[0] * mask / keep, pair[1] * mask / keep)
+        # path drop, exactly as on a concatenated layout); the parts may
+        # differ in rank (cls [B,1,D] vs the [B,T,n,D] patch grid)
+        mask = jax.random.bernoulli(rng, keep, (pair[1].shape[0],))
+
+        def app(part):
+            m = mask.reshape((-1,) + (1,) * (part.ndim - 1))
+            return part * m / keep
+
+        return (app(pair[0]), app(pair[1]))
 
 
 class PatchEmbed(nn.Module):
@@ -368,7 +374,15 @@ class SpaceTimeTransformer(nn.Module):
                                    name="norm")
 
     def embed(self, video, *, deterministic: bool = True):
-        """[B, T, H, W(, 3)] -> the (cls, patches) activation pair."""
+        """[B, T, H, W(, 3)] -> the (cls, patches) activation pair.
+
+        Patches ride as the 4-D GRID ``[B, T, n, D]`` through the whole
+        block stack (not flat ``[B, T*n, D]``): the Pallas kernels and the
+        pair-layout XLA time path consume exactly this shape, so between
+        the patch embedding and the CLS head NO frame/patch re-tiling
+        reshape ever touches HBM — on the flat layout those reshapes cost
+        ~30 GB/step at the 16f fine-tune shape (scripts/hlo_traffic.py).
+        """
         cfg = self.cfg
         if video.ndim == 5:
             B, T, H, W, C = video.shape
@@ -379,15 +393,16 @@ class SpaceTimeTransformer(nn.Module):
 
         x = video.reshape(B * T, H, WC).astype(self.dtype)
         x = self.patch_embed(x)
-        x = x.reshape(B, T * n, D)
+        x = x.reshape(B, T, n, D)
 
         cls = jnp.broadcast_to(self.cls_token.astype(self.dtype), (B, 1, D))
 
-        # spatial pos tiled per frame: [1,2,..n,1,2,..n,...]; temporal embed
-        # repeated within each frame: [t0 x n, t1 x n, ...] (reference :311-317)
-        tile_pos = jnp.tile(self.pos_embed[:, 1:, :], (1, cfg.num_frames, 1))
-        tile_temporal = jnp.repeat(self.temporal_embed, n, axis=1)
-        patch_pos = (tile_pos + tile_temporal)[:, : T * n]
+        # spatial pos per frame + per-frame temporal embed, by broadcast on
+        # the grid — same values the reference tiles/repeats on the flat
+        # sequence ([1,2,..n,1,2,..n,...] / [t0 x n, t1 x n, ...],
+        # reference :311-317), without materializing either tile
+        patch_pos = (self.pos_embed[:, None, 1:, :]
+                     + self.temporal_embed[:, :T, None, :])
         # activations ride as a (cls, patches) PAIR through the blocks: the
         # divided-attention fast path then never pays a CLS splice/concat
         # HBM pass (kernels/divided_attention.py::divided_attention_parts)
