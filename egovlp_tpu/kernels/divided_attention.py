@@ -232,15 +232,18 @@ def _time_xla_parts(qc, kc, vc, qp, kp, vp, *, heads: int, frames: int,
 
     cls_out = _cls_row_parts(qc, kc, vc, kp, vp, H, scale, dtype)
 
-    q5 = qp.reshape(B, f, n, H, hd) * scale
+    q5 = qp.reshape(B, f, n, H, hd)
     k5 = kp.reshape(B, f, n, H, hd)
     v5 = vp.reshape(B, f, n, H, hd)
-    # frame-vs-frame logits per (patch column, head): [B, n, H, f, f]
+    # frame-vs-frame logits per (patch column, head): [B, n, H, f, f].
+    # q's softmax scale is folded into the (tiny f32) LOGITS rather than
+    # multiplied into q — a `q * scale` pass materializes a full
+    # [B, f, n, D] copy (~12+12 of them at 16f in the traffic audit)
     lg = jnp.einsum("bqnhd,bknhd->bnhqk", q5, k5,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32) * scale
     # CLS key column, spliced FIRST to match the reference key order
     lg_cls = jnp.einsum("bqnhd,bhd->bnhq", q5, kc.reshape(B, H, hd),
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32) * scale
     full = jnp.concatenate([lg_cls[..., None], lg], axis=-1)
     pr = jax.nn.softmax(full, axis=-1).astype(dtype)
     out = jnp.einsum("bnhqk,bknhd->bqnhd", pr[..., 1:], v5)

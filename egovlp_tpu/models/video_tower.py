@@ -26,6 +26,8 @@ the reference uses NCHW).
 from __future__ import annotations
 
 import dataclasses
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -127,6 +129,45 @@ class Mlp(nn.Module):
         return x
 
 
+class FusedQKVProj(nn.Module):
+    """The fused qkv Dense computed as THREE kernel-sliced matmuls.
+
+    Parameter tree and initialization are identical to
+    ``nn.Dense(3 * dim, name="qkv")`` (``kernel [D, 3D]``, ``bias [3D]`` —
+    the converter contract, models/convert.py), but the q/k/v outputs come
+    straight out of their own matmuls instead of ``jnp.split`` on a
+    ``[B, S, 3D]`` buffer.  The split is not free on TPU: XLA materializes
+    the fused output AND three sliced copies (and the backward mirrors
+    them as a concat) — ~114 layout copies of [16,3136,768], ~35 GB/step
+    at the 16f shape, the single largest line of the HLO traffic audit
+    (scripts/hlo_traffic.py).  Slicing the [D, 3D] KERNEL instead moves
+    the same arithmetic to three [D, D] matmuls whose operand slices are
+    ~2 MB.
+    """
+
+    dim: int
+    use_bias: bool = True
+    kernel_init: Any = nn.initializers.lecun_normal()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        D = self.dim
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], 3 * D))
+        bias = (self.param("bias", nn.initializers.zeros, (3 * D,))
+                if self.use_bias else None)
+        k = kernel.astype(self.dtype)
+        b = bias.astype(self.dtype) if bias is not None else None
+        outs = []
+        for i in range(3):
+            y = x @ k[:, i * D:(i + 1) * D]
+            if b is not None:
+                y = y + b[i * D:(i + 1) * D]
+            outs.append(y)
+        return tuple(outs)
+
+
 class VarAttention(nn.Module):
     """QKV projection + divided attention + output projection.
 
@@ -171,15 +212,15 @@ class VarAttention(nn.Module):
             qkv_kernel_init = nn.initializers.lecun_normal()
             proj_kernel_init = nn.initializers.lecun_normal()
 
-        qkv = nn.Dense(
-            3 * D,
+        qkv = FusedQKVProj(
+            D,
             use_bias=self.qkv_bias,
             kernel_init=qkv_kernel_init,
             dtype=self.dtype,
             name="qkv",
         )
-        qc, kc, vc = jnp.split(qkv(xc), 3, axis=-1)
-        qp, kp, vp = jnp.split(qkv(xp), 3, axis=-1)
+        qc, kc, vc = qkv(xc)
+        qp, kp, vp = qkv(xp)
 
         # pair layout straight into the attention op: every reshape on the
         # Pallas path is free, and heads are lane-sliced in-kernel (no head
