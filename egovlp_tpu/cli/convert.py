@@ -43,7 +43,9 @@ def inspect_checkpoint(path: str, print_fn=print) -> dict:
         children = os.listdir(path)
         if any(c.startswith("checkpoint-epoch") or c == "model_best"
                for c in children):
-            restored = CheckpointManager(path).restore()  # run dir: latest
+            # run dir: restore(path) resolves to the latest epoch, or
+            # model_best when that's all the directory holds
+            restored = CheckpointManager(path).restore(path)
         else:  # a checkpoint leaf itself
             restored = CheckpointManager(
                 os.path.dirname(os.path.abspath(path))).restore(path)
@@ -53,8 +55,6 @@ def inspect_checkpoint(path: str, print_fn=print) -> dict:
             if isinstance(node, dict):
                 for k, v in node.items():
                     walk(f"{prefix}{k}." if prefix else f"{k}.", v)
-                    if prefix == "" and k in ("epoch", "monitor_best"):
-                        meta[k] = v
             elif prefix and hasattr(node, "shape"):
                 flat[prefix[:-1]] = node
 

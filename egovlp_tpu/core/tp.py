@@ -17,7 +17,8 @@ Rules (Megatron-style column->row pairs, boundaries head-aligned):
                attn/timeattn qkv  column-parallel (fused [q|k|v] output
                dim sharded contiguously; the timm layout means a 2-way
                split lands mid-q/k/v, which is semantically safe under
-               GSPMD — it re-partitions at the jnp.split — though not
+               GSPMD — it re-partitions at FusedQKVProj's kernel slices
+               `k[:, i*D:(i+1)*D]` (models/video_tower.py) — though not
                head-interleaved; the largest attention param/compute
                share now really splits across the model axis)
                attn/timeattn proj row-parallel

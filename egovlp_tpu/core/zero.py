@@ -46,10 +46,6 @@ from egovlp_tpu.core.mesh import DATA_AXIS
 _STATE_FIELDS = {1: ("opt_state",), 3: ("opt_state", "params")}
 
 
-def _key_name(k) -> str:
-    return getattr(k, "key", getattr(k, "name", str(k)))
-
-
 def _with_data_axis(spec: P, shape, n_data: int) -> P:
     """Insert DATA_AXIS on the largest replicated dim divisible by n_data."""
     entries = list(spec) + [None] * (len(shape) - len(spec))
@@ -78,9 +74,12 @@ def zero_shardings(state, mesh: Mesh, *, stage: int = 1,
     n_data = mesh.shape[DATA_AXIS]
     fields = _STATE_FIELDS[stage]
 
+    from egovlp_tpu.core.tp import _path_names
+
     def one(path, leaf, base_sh):
         shape = np.shape(leaf)
-        if (n_data <= 1 or not shape or _key_name(path[0]) not in fields
+        if (n_data <= 1 or not shape
+                or _path_names(path[:1])[0] not in fields
                 or int(np.prod(shape)) < min_size):
             return base_sh
         return NamedSharding(mesh, _with_data_axis(base_sh.spec, shape,
@@ -96,7 +95,7 @@ def shard_state_zero(state, mesh: Mesh, *, stage: int = 1,
                                                 min_size=min_size))
 
 
-def pin_step_shardings(step_fn, state_shardings, mesh: Mesh):
+def pin_step_shardings(step_fn, state_shardings):
     """Re-jit a task step (``steps.arrays_only`` wrapper) so the returned
     TrainState keeps the ZeRO layout — a fixed point instead of whatever
     GSPMD's output-sharding search happens to pick each compile.
@@ -170,4 +169,4 @@ def apply_zero(step_fn, state, mesh: Mesh, *, stage: int = 1,
             "ZeRO stage %d over data axis %d: %.2f GB of state sharded "
             "(%.2f GB saved per chip)", stage, n_data, moved / 1e9,
             moved * (1 - 1 / n_data) / 1e9)
-    return pin_step_shardings(step_fn, sh, mesh), state
+    return pin_step_shardings(step_fn, sh), state

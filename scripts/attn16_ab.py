@@ -86,15 +86,19 @@ def main():
               flush=True)
 
     med = {k: float(np.median(v)) for k, v in times.items()}
-    a, b = variants[0], variants[1]
-    wins_b = sum(y < x for x, y in zip(times[a], times[b]))
-    print(json.dumps({
+    summary = {
         "metric": "attn16_ab_fwd_bwd_ms",
         "median": {k: round(v, 1) for k, v in med.items()},
         "per_round": {k: [round(x, 1) for x in v] for k, v in times.items()},
-        f"{b}_wins_rounds": wins_b,
-        f"{b}_speedup_pct": round((med[a] / med[b] - 1) * 100, 2),
-    }))
+    }
+    # pairwise win/speedup lines vs the FIRST variant (any variant count)
+    a = variants[0]
+    for b in variants[1:]:
+        summary[f"{b}_wins_rounds_vs_{a}"] = sum(
+            y < x for x, y in zip(times[a], times[b]))
+        summary[f"{b}_speedup_pct_vs_{a}"] = round(
+            (med[a] / med[b] - 1) * 100, 2)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

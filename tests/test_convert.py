@@ -316,3 +316,21 @@ def test_inspect_checkpoint_torch_and_orbax(rng, tmp_path):
                                  print_fn=lines.append)
     assert summary["layer.kernel"] == ((5, 6), "float32")
     assert "1 tensors" in lines[-1] and "'epoch': 2" in lines[-1]
+
+
+def test_inspect_checkpoint_model_best_only(tmp_path):
+    """A run dir whose epoch checkpoints were pruned (only model_best
+    left) still inspects (review finding r3)."""
+    import shutil
+
+    from egovlp_tpu.cli.convert import inspect_checkpoint
+    from egovlp_tpu.io.checkpoints import CheckpointManager
+
+    cm = CheckpointManager(str(tmp_path))
+    cm.save_epoch(1, {"params": {"w": np.ones((2, 2), np.float32)},
+                      "epoch": 1, "monitor_best": 0.9}, is_best=True)
+    shutil.rmtree(tmp_path / "checkpoint-epoch1")
+    lines = []
+    summary = inspect_checkpoint(str(tmp_path), print_fn=lines.append)
+    assert summary["w"] == ((2, 2), "float32")
+    assert "'epoch': 1" in lines[-1]
