@@ -115,3 +115,43 @@ def test_single_frame_space_equals_full_attention(rng):
         "bhqk,bhkd->bhqd", jax.nn.softmax(logits, -1), jnp.asarray(v)
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("axis", ["space", "time"])
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_parts_grid_layout_matches_flat(rng, axis, impl):
+    """divided_attention_parts accepts the tower's native [B, f, n, D]
+    grid layout and returns it; values (fwd AND input grads) match the
+    flat [B, f*n, D] call exactly — the dual-rank API contract the
+    grid-layout tower relies on."""
+    from egovlp_tpu.kernels.divided_attention import divided_attention_parts
+
+    B, H, f, n, hd = 2, 2, 3, 8, 8
+    D, Sp = H * hd, 3 * 8
+    qc, kc, vc = (jnp.asarray(rng.normal(size=(B, 1, D)), jnp.float32)
+                  for _ in range(3))
+    flat = [jnp.asarray(rng.normal(size=(B, Sp, D)), jnp.float32)
+            for _ in range(3)]
+    grid = [t.reshape(B, f, n, D) for t in flat]
+
+    def run(parts, shape_back):
+        def loss(*p):
+            oc, op = divided_attention_parts(
+                qc, kc, vc, *p, heads=H, frames=f, patches=n,
+                axis=axis, impl=impl)
+            assert op.shape == p[0].shape  # rank-preserving
+            return jnp.sum(oc ** 2) + jnp.sum(jnp.sin(op)), (oc, op)
+
+        (val, (oc, op)), grads = jax.value_and_grad(
+            loss, argnums=(0, 1, 2), has_aux=True)(*parts)
+        return (float(val), np.asarray(oc),
+                np.asarray(op).reshape(B, Sp, D),
+                [np.asarray(g).reshape(B, Sp, D) for g in grads])
+
+    v_f, oc_f, op_f, g_f = run(flat, False)
+    v_g, oc_g, op_g, g_g = run(grid, True)
+    assert v_g == pytest.approx(v_f, rel=1e-6)
+    np.testing.assert_array_equal(oc_g, oc_f)
+    np.testing.assert_array_equal(op_g, op_f)
+    for a, b in zip(g_g, g_f):
+        np.testing.assert_array_equal(a, b)
