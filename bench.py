@@ -172,7 +172,8 @@ def main():
     )["params"]
     tx = make_optimizer(3e-5, (60, 80), steps_per_epoch=1000)
     state = create_train_state(model, params, tx)
-    step = make_egoclip_train_step(loss_type="EgoNCE", input_res=R)
+    step = make_egoclip_train_step(loss_type="EgoNCE", input_res=R,
+                                   donate=True)
 
     # place state/batch exactly like the production path (replicated state,
     # mesh-sharded batch) so the timed program is the one recipes run;
@@ -350,7 +351,7 @@ def main():
                                    make_optimizer(3e-5, (60, 80), 1000)),
                 replicated(mesh))
             step16 = make_epic_train_step(loss_type="MaxMarginRankingLoss",
-                                          input_res=R)
+                                          input_res=R, donate=True)
             state16, l16 = step16(state16, batch16, key)
             float(l16)
             t0 = time.perf_counter()

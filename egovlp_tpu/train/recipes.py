@@ -213,6 +213,12 @@ def run_task(config, resume: Optional[str] = None):
     loss_cfg = config.get("loss", {})
     loss_type = loss_cfg.get("type", "EgoNCE")
     loss_args = loss_cfg.get("args", {})
+    # donate the train state to the jitted step: the epoch loop always
+    # rebinds it, so XLA can update params/opt-state in place instead of
+    # holding two copies (~2.6 GB peak HBM on the flagship model).
+    # trainer.donate_state=false opts out (e.g. when driving the step
+    # manually and reusing a state object).
+    donate = bool(trainer_cfg.get("donate_state", True))
 
     # ---- task step + validation --------------------------------------
     if task == "egoclip":
@@ -224,6 +230,7 @@ def run_task(config, resume: Optional[str] = None):
             # 'ring' = memory-lean ppermute-ring similarity
             # (objectives/ring.py) for pod-scale global batches
             global_sim=str(loss_args.get("global_sim", "gather")),
+            donate=donate,
         )
         # the reference forces MCQ val batch 1 — an artifact of its dynamic
         # shapes (run/train_egoclip.py:101-125), not a protocol requirement;
@@ -248,6 +255,7 @@ def run_task(config, resume: Optional[str] = None):
             margin=float(loss_args.get("margin",
                                        0.4 if "Adaptive" in loss_type else 0.2)),
             fix_norm=bool(loss_args.get("fix_norm", True)),
+            donate=donate,
         )
         val_loader = build.build_loader(dl_args, "test", tokenizer)
         val_loader.drop_last = False
@@ -279,6 +287,7 @@ def run_task(config, resume: Optional[str] = None):
         step = make_charades_train_step(
             input_res=input_res,
             temperature=float(loss_args.get("temperature", 0.05)),
+            donate=donate,
         )
         val_loader = build.build_loader(dl_args, "test", tokenizer)
         val_loader.drop_last = False
@@ -299,8 +308,9 @@ def run_task(config, resume: Optional[str] = None):
             return m
 
     elif task in ("oscc", "pnr"):
-        step = (make_oscc_train_step(input_res) if task == "oscc"
-                else make_pnr_train_step(input_res))
+        step = (make_oscc_train_step(input_res, donate=donate)
+                if task == "oscc"
+                else make_pnr_train_step(input_res, donate=donate))
         val_loader = build.build_loader(dl_args, "val", tokenizer)
         val_loader.drop_last = False
         ev = evaluate_oscc if task == "oscc" else evaluate_pnr

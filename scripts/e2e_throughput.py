@@ -92,7 +92,8 @@ def measure_e2e(n_steps: int = 24, warmup: int = 4,
     tx = make_optimizer(3e-5, (60, 80), 100)
     state = jax.device_put(create_train_state(model, params, tx),
                            replicated(mesh))
-    step = make_egoclip_train_step(loss_type="EgoNCE", input_res=224)
+    step = make_egoclip_train_step(loss_type="EgoNCE", input_res=224,
+                                   donate=True)
 
     t_start = None
     losses = []

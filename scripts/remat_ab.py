@@ -65,7 +65,7 @@ def main():
                                                   mu_dtype=mu_dtype)),
                 replicated(mesh))
             step = make_epic_train_step(loss_type="MaxMarginRankingLoss",
-                                        input_res=R)
+                                        input_res=R, donate=True)
             t_c0 = time.perf_counter()
             state, loss = step(state, batch, key)
             float(loss)

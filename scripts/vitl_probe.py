@@ -58,7 +58,7 @@ def main():
         "noun_vec": np.eye(B, 582, dtype=np.float32),
         "verb_vec": np.eye(B, 118, dtype=np.float32),
     }, mesh)
-    step = make_egoclip_train_step(loss_type="EgoNCE", input_res=R)
+    step = make_egoclip_train_step(loss_type="EgoNCE", input_res=R, donate=True)
     key = jax.random.PRNGKey(0)
     state, loss = step(state, batch, key)
     float(loss)

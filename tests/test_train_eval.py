@@ -84,6 +84,38 @@ def test_egoclip_train_step_learns(egoclip_root, vocab_file, tiny_model):  # noq
     assert losses[-1] < losses[0], f"no learning: {losses}"
 
 
+def test_donated_step_matches_undonated(egoclip_root, vocab_file, tiny_model):  # noqa: F811
+    """donate=True (the production-trainer default, trainer.donate_state)
+    lets XLA update params/opt-state in place; it must not change the
+    math.  Two fresh-but-identical states, one per variant — a donated
+    state must never be reused, so each variant gets its own."""
+    model, params = tiny_model
+    tok = WordPieceTokenizer(vocab_file, max_length=8)
+    ds = EgoClipDataset(DatasetConfig(data_dir=egoclip_root, split="train",
+                                      num_frames=4, pre_size=RES,
+                                      neg_param=1))
+    loader = Loader(ds, batch_size=2, tokenizer=tok, num_workers=1,
+                    shuffle=False)
+    batch = next(iter(loader.epoch(0)))
+
+    losses = {}
+    for donate in (False, True):
+        tx = make_optimizer(1e-3, (60, 80), steps_per_epoch=3)
+        # deep-copy: a donated state's buffers are deleted by the step, and
+        # create_train_state aliases the param arrays it is given — donating
+        # the shared fixture's params would poison later tests
+        own = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
+        state = create_train_state(model, own, tx)
+        step = make_egoclip_train_step(loss_type="EgoNCE", input_res=RES,
+                                       donate=donate)
+        ls = []
+        for i in range(3):
+            state, loss = step(state, batch, jax.random.PRNGKey(i))
+            ls.append(float(loss))
+        losses[donate] = ls
+    assert losses[True] == losses[False], losses
+
+
 def test_egomcq_eval_runs(egoclip_root, vocab_file, tiny_model):  # noqa: F811
     from egovlp_tpu.evals.egomcq import evaluate_egomcq
 
