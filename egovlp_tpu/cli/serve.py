@@ -2,6 +2,14 @@
 
     python -m egovlp_tpu.cli.serve --config configs/eval/egomcq.json \
         [--checkpoint ...] [--port 8000]
+
+AOT mode (jax.export artifacts, egovlp_tpu/io/export.py):
+
+    # produce a frozen StableHLO artifact (optionally multi-platform)
+    ... --config c.json --checkpoint k --export-aot embedder.zip \
+        [--platforms cpu,tpu]
+    # serve from the artifact (no retracing; model code only for params)
+    ... --config c.json --checkpoint k --aot embedder.zip
 """
 
 from __future__ import annotations
@@ -22,6 +30,13 @@ def main(argv=None):
     ap.add_argument("--checkpoint", "-k", default=None)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--export-aot", default=None, metavar="PATH",
+                    help="export a jax.export StableHLO artifact and exit")
+    ap.add_argument("--aot", default=None, metavar="PATH",
+                    help="serve from a previously exported artifact")
+    ap.add_argument("--platforms", default=None,
+                    help="comma-separated lowering platforms for "
+                         "--export-aot (e.g. cpu,tpu)")
     args = ap.parse_args(argv)
 
     logger = setup_logging()
@@ -34,9 +49,32 @@ def main(argv=None):
                          "(arch.args.text_params.vocab)")
     dl_args = _dl_args(config)
     vp = dl_args.get("video_params", {})
-    emb = Embedder(model, params, tokenizer,
-                   num_frames=int(vp.get("num_frames", 4)),
-                   input_res=int(vp.get("input_res", 224)))
+    num_frames = int(vp.get("num_frames", 4))
+    input_res = int(vp.get("input_res", 224))
+
+    if args.export_aot:
+        from egovlp_tpu.io.export import export_embedder
+
+        platforms = (tuple(p.strip() for p in args.platforms.split(","))
+                     if args.platforms else None)
+        manifest = export_embedder(
+            model, params, args.export_aot, num_frames=num_frames,
+            input_res=input_res, max_length=tokenizer.max_length,
+            platforms=platforms)
+        logger.info("exported %s: buckets=%s platforms=%s",
+                    args.export_aot, manifest["buckets"],
+                    manifest["platforms"] or "default")
+        return
+
+    if args.aot:
+        from egovlp_tpu.io.export import ExportedEmbedder
+
+        emb = ExportedEmbedder(args.aot, params, tokenizer)
+        logger.info("serving AOT artifact %s (buckets=%s)", args.aot,
+                    emb.buckets)
+    else:
+        emb = Embedder(model, params, tokenizer, num_frames=num_frames,
+                       input_res=input_res)
     logger.info("serving on %s:%d", args.host, args.port)
     serve(emb, args.host, args.port)
 

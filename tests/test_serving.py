@@ -42,6 +42,56 @@ def test_embed_frames_and_videos(embedder, tmp_path):
     assert out2.shape == (1, 8)
 
 
+def test_aot_export_round_trip(embedder, tiny_model, vocab_file, tmp_path):  # noqa: F811
+    """jax.export artifact (io/export.py): deserialized StableHLO programs
+    reproduce the live Embedder bit-for-bit through the whole bucketing
+    contract (pad -> frozen program -> slice)."""
+    from egovlp_tpu.io.export import ExportedEmbedder, export_embedder
+
+    model, params = tiny_model
+    path = str(tmp_path / "embedder.zip")
+    manifest = export_embedder(model, params, path, num_frames=4,
+                               input_res=RES, pre_size=RES, max_length=8,
+                               buckets=(1, 2, 4))
+    assert manifest["buckets"] == [1, 2, 4]
+
+    tok = WordPieceTokenizer(vocab_file, max_length=8)
+    aot = ExportedEmbedder(path, params, tok)
+
+    texts = ["a person does thing", "query opt", "c"]
+    np.testing.assert_allclose(aot.embed_texts(texts),
+                               embedder.embed_texts(texts), atol=1e-6)
+
+    frames = np.random.default_rng(0).integers(
+        0, 255, (3, 4, RES, RES, 3)).astype(np.uint8)
+    np.testing.assert_allclose(aot.embed_frames(frames),
+                               embedder.embed_frames(frames), atol=1e-6)
+
+    # over the largest bucket -> explicit error (the live Embedder grows;
+    # an AOT artifact is fixed by construction)
+    with pytest.raises(ValueError, match="bucket"):
+        aot.embed_texts(["x"] * 5)
+
+    # the artifact serves over HTTP exactly like the live embedder
+    server = serve(aot, port=0, block=False)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/embed_text",
+            data=json.dumps({"texts": ["a person does thing"]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        np.testing.assert_allclose(
+            np.asarray(out["embeddings"]),
+            embedder.embed_texts(["a person does thing"]), atol=1e-6)
+    finally:
+        server.shutdown()
+
+
 def test_http_server(embedder):
     server = serve(embedder, port=0, block=False)
     port = server.server_address[1]
