@@ -28,22 +28,31 @@ MODEL_AXIS = "model"
 class MeshSpec:
     """Declarative mesh description.
 
-    ``data`` = number of data-parallel groups, ``model`` = chips per group for
-    tensor parallelism (1 for the EgoVLP parity configuration).
+    ``data`` = number of data-parallel groups WITHIN a slice (ICI),
+    ``model`` = chips per group for tensor parallelism (1 for the EgoVLP
+    parity configuration), ``dcn_data`` = number of slices combined over
+    the data-center network (multi-slice pods).  The DCN dimension folds
+    into the ``data`` mesh axis slice-major, so the model axis (latency-
+    sensitive tp/sp all-to-alls) always stays inside one slice and the
+    gradient psum crosses DCN exactly once per step — the standard
+    multi-slice recipe (config key ``mesh.dcn_data``).
     """
 
     data: int = -1  # -1: use all devices
     model: int = 1
+    dcn_data: int = 1
 
     def resolve(self, devices: Optional[Sequence[jax.Device]] = None) -> "MeshSpec":
         devices = devices if devices is not None else jax.devices()
         n = len(devices)
-        data = self.data if self.data > 0 else n // self.model
-        if data * self.model != n:
+        dcn = max(1, self.dcn_data)
+        data = self.data if self.data > 0 else n // (self.model * dcn)
+        if data * self.model * dcn != n:
             raise ValueError(
-                f"mesh {data}x{self.model} does not cover {n} devices"
+                f"mesh {dcn}x{data}x{self.model} (dcn x data x model) "
+                f"does not cover {n} devices"
             )
-        return MeshSpec(data=data, model=self.model)
+        return MeshSpec(data=data, model=self.model, dcn_data=dcn)
 
 
 def create_mesh(
@@ -55,9 +64,27 @@ def create_mesh(
     The device order is kept as-is: on real TPU slices ``jax.devices()`` is
     already ICI-contiguous, so neighbouring data-parallel ranks ride ICI, not
     DCN.
+
+    ``dcn_data > 1`` (multi-slice): the data axis becomes
+    ``dcn_data * data`` with slices as the SLOWEST-varying blocks, via
+    ``mesh_utils.create_hybrid_device_mesh`` (reads each device's
+    ``slice_index``); where slice indices are unavailable (CPU meshes,
+    single-slice backends) it falls back to contiguous grouping, exact
+    whenever ``jax.devices()`` is slice-ordered (it is, on real pods).
     """
     devices = list(devices if devices is not None else jax.devices())
     spec = spec.resolve(devices)
+    if spec.dcn_data > 1:
+        try:
+            from jax.experimental import mesh_utils
+
+            arr = mesh_utils.create_hybrid_device_mesh(
+                (spec.data, spec.model), (spec.dcn_data, 1), devices=devices)
+            arr = arr.reshape(spec.dcn_data * spec.data, spec.model)
+        except Exception:  # no slice_index attrs (cpu / single slice)
+            arr = np.asarray(devices).reshape(
+                spec.dcn_data * spec.data, spec.model)
+        return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
     arr = np.asarray(devices).reshape(spec.data, spec.model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 

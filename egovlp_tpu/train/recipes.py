@@ -124,7 +124,11 @@ def run_task(config, resume: Optional[str] = None):
         devices = None
     mesh_cfg = config.get("mesh", {}) or {}
     mesh = create_mesh(MeshSpec(data=int(mesh_cfg.get("data", -1)),
-                                model=int(mesh_cfg.get("model", 1))),
+                                model=int(mesh_cfg.get("model", 1)),
+                                # multi-slice pods: data parallelism across
+                                # slices over DCN (folds slice-major into
+                                # the data axis; see core/mesh.py)
+                                dcn_data=int(mesh_cfg.get("dcn_data", 1))),
                        devices)
     arch = config["arch"]
     if mesh_cfg.get("sequence_parallel") and mesh.shape.get("model", 1) <= 1:

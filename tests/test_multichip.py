@@ -69,6 +69,38 @@ def test_chunked_global_similarity(mesh, rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_dcn_multislice_mesh(rng):
+    """mesh.dcn_data folds multi-slice data parallelism into the data axis
+    slice-major (core/mesh.py): the model axis never crosses DCN and the
+    data-axis psum crosses it once.  On the virtual CPU mesh the
+    contiguous-grouping fallback applies (no slice_index attrs)."""
+    devices = jax.devices()[:8]
+    mesh = create_mesh(MeshSpec(data=2, model=2, dcn_data=2), devices)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    # slice-major data axis: slice 0 = devices 0-3, slice 1 = devices 4-7;
+    # each model group stays inside one slice
+    ids = np.array([[d.id for d in row] for row in mesh.devices])
+    assert ids[:2].ravel().tolist() == [0, 1, 2, 3]
+    assert ids[2:].ravel().tolist() == [4, 5, 6, 7]
+
+    # data resolves from the remaining devices (8 / (model*dcn) = 2)
+    auto = create_mesh(MeshSpec(model=2, dcn_data=2), devices)
+    assert dict(auto.shape) == {"data": 4, "model": 2}
+
+    with pytest.raises(ValueError, match="does not cover"):
+        create_mesh(MeshSpec(data=3, model=2, dcn_data=2), devices)
+
+    # a sharded program runs on the hybrid mesh and matches the host math
+    from egovlp_tpu.core.mesh import shard_batch
+
+    x = rng.normal(size=(8, 4)).astype(np.float32)
+    xs = shard_batch(x, mesh)
+    got = jax.jit(lambda a: jnp.sum(a, axis=0))(xs)
+    # sharded reduction order differs from the host's
+    np.testing.assert_allclose(np.asarray(got), x.sum(0), rtol=1e-5,
+                               atol=1e-6)
+
+
 def test_dryrun_multichip_entry():
     import __graft_entry__ as g
 
