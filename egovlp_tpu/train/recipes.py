@@ -235,6 +235,9 @@ def run_task(config, resume: Optional[str] = None):
             # (objectives/ring.py) for pod-scale global batches
             global_sim=str(loss_args.get("global_sim", "gather")),
             donate=donate,
+            # exact contrastive gradient accumulation (GradCache two-pass,
+            # train/grad_cache.py): activations for batch/K resident
+            n_micro=int(trainer_cfg.get("grad_accum", 1)),
         )
         # the reference forces MCQ val batch 1 — an artifact of its dynamic
         # shapes (run/train_egoclip.py:101-125), not a protocol requirement;

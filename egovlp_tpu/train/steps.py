@@ -89,13 +89,23 @@ def _step_jit(donate: bool):
 def make_egoclip_train_step(loss_type: str = "EgoNCE", input_res: int = 224,
                             temperature: float = 0.05, noun: bool = True,
                             verb: bool = True, global_sim: str = "gather",
-                            donate: bool = False):
+                            donate: bool = False, n_micro: int = 1):
     """``global_sim``: 'gather' (default) computes the full similarity on
     logically-global embeddings (GSPMD all-gathers; the reference's
     AllGather_multi semantics); 'ring' keeps only [local, G] row blocks
     per chip via a shard_map'd ppermute ring (objectives/ring.py) — same
     loss, O(G^2/n_chips) less resident memory at pod-scale batches.
-    'ring' falls back to 'gather' when no data-axis mesh is active."""
+    'ring' falls back to 'gather' when no data-axis mesh is active.
+
+    ``n_micro > 1`` (config ``trainer.grad_accum``): exact GradCache
+    two-pass gradient accumulation (train/grad_cache.py) — same loss and
+    gradients as the monolithic step, tower activations for only B/K
+    samples resident.  The post-negative-concat batch must divide by it.
+    """
+    if n_micro > 1 and global_sim == "ring":
+        raise ValueError("grad_accum composes with global_sim='gather' "
+                         "only (the ring loss already bounds memory)")
+
     @_step_jit(donate)
     def step(state, batch, rng):
         frames = batch["frames"]
@@ -113,6 +123,32 @@ def make_egoclip_train_step(loss_type: str = "EgoNCE", input_res: int = 224,
 
         t_rng, d_rng = jax.random.split(rng)
         video = _transform_train(t_rng, frames, input_res)
+
+        if n_micro > 1:
+            from egovlp_tpu.train.grad_cache import grad_cache_value_and_grad
+
+            def embed_fn(params, mb, key):
+                return state.apply_fn(
+                    {"params": params}, mb["video"], mb["ids"], mb["mask"],
+                    deterministic=False, rngs={"dropout": key},
+                )
+
+            def emb_loss(emb):
+                t, v = emb
+                sim = sim_matrix(t, v)
+                if loss_type == "EgoNCE":
+                    # the verb/noun mask matrices come from batch INPUTS
+                    # (not embeddings), so they are available in full here
+                    return egonce(sim, sim_matrix(verb_vec, verb_vec),
+                                  sim_matrix(noun_vec, noun_vec),
+                                  temperature, noun=noun, verb=verb)
+                return info_nce(sim, temperature)
+
+            vg = grad_cache_value_and_grad(embed_fn, emb_loss, n_micro)
+            loss, grads = vg(state.params,
+                             {"video": video, "ids": ids, "mask": mask},
+                             d_rng)
+            return state.apply_gradients(grads=grads), loss
 
         def loss_fn(params):
             t, v = state.apply_fn(
