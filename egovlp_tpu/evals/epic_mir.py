@@ -54,8 +54,12 @@ def evaluate_epic_mir(text_embeds: np.ndarray, vid_embeds: np.ndarray,
     else:
         sim = cosine_rescaled(text_embeds, vid_embeds)
 
-    video_list = list(video_ids)
-    indexes = [video_list.index(t) for t in text_ids]
+    # first-occurrence index per video id (== list.index semantics, but
+    # O(N) instead of the reference's O(N^2) scan, run/test_epic.py:129-136)
+    first_pos: Dict = {}
+    for i, v in enumerate(video_ids):
+        first_pos.setdefault(v, i)
+    indexes = [first_pos[t] for t in text_ids]
     sim = sim.T[:, indexes]  # -> [video, sentence]
 
     vis_k = calculate_k_counts(relevancy)

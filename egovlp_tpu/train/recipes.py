@@ -79,10 +79,19 @@ def _make_train_epoch_fn(loader, step_fn, mesh, max_samples, log_step,
     loaders = loader.loaders if hasattr(loader, "loaders") else [loader]
 
     def train_epoch(state, epoch, mlog):
-        total, n = 0.0, 0
+        import jax.numpy as jnp
+
         t0 = time.time()
         streams = [device_prefetch(l.epoch(epoch), mesh, depth=2)
                    for l in loaders]
+        # Per-loader DEVICE loss scalars.  Fetching float(loss) every step
+        # would block on the device (a full transfer round-trip) and
+        # serialize JAX's async dispatch, capping the loop far below the
+        # device rate; host syncs happen only every log_step batches and
+        # once for the epoch averages (scripts/trainer_loop_bench.py
+        # measures this loop against the raw-step roofline).
+        losses = [[] for _ in loaders]
+        n = 0
         # one optimizer step per loader per batch index, like the
         # reference's nested loop over its data_loader list
         for i, batch_tuple in enumerate(zip(*streams)):
@@ -93,15 +102,27 @@ def _make_train_epoch_fn(loader, step_fn, mesh, max_samples, log_step,
                     jax.random.fold_in(jax.random.PRNGKey(seed), epoch), i),
                     dl_idx)
                 state, loss = step_fn(state, batch, rng)
-                total += float(loss)
+                losses[dl_idx].append(loss)
                 n += 1
             if i % log_step == 0:
                 mlog.set_step((epoch - 1) * len(loader) + i, "train")
-                mlog.scalar("loss", float(loss))
-                logger.info("epoch %d step %d loss %.4f (%.2f s/it)",
-                            epoch, i, float(loss),
-                            (time.time() - t0) / max(n, 1))
-        return state, {"loss_0": total / max(n, 1)}
+                for dl_idx in range(len(loaders)):
+                    lv = float(losses[dl_idx][-1])  # the only in-loop sync
+                    # reference TB tag Loss_training/loss_{dl_idx}
+                    # (trainer_egoclip.py:143-148); single-loader runs keep
+                    # the plain 'loss' scalar
+                    mlog.scalar(f"loss_{dl_idx}" if len(loaders) > 1
+                                else "loss", lv)
+                    logger.info(
+                        "epoch %d step %d dl%d loss %.4f (%.2f s/it)",
+                        epoch, i, dl_idx, lv,
+                        (time.time() - t0) / max(n, 1))
+        # epoch-average per loader (reference log keys loss_{dl_idx},
+        # trainer_egoclip.py:165-167); one device fetch per loader
+        return state, {
+            f"loss_{dl_idx}": float(jnp.mean(jnp.stack(ls))) if ls else 0.0
+            for dl_idx, ls in enumerate(losses)
+        }
 
     return train_epoch
 
@@ -244,17 +265,28 @@ def run_task(config, resume: Optional[str] = None):
         # our eval folds the 5 options into the batch axis so larger eval
         # batches score identically (tested) while amortising the ~0.55 ms
         # per-call dispatch.  Default 8; trainer.val_batch_size overrides.
-        val_loader = build.build_loader(
-            dl_args, "val", tokenizer,
-            batch_size=int(trainer_cfg.get("val_batch_size", 8)))
-        val_loader.drop_last = False
+        # One val loader PER data_loader entry (the reference derives a val
+        # split for every list entry, run/train_egoclip.py:101-125); loader
+        # 0's metrics keep their plain names so monitor keys keep working,
+        # later loaders get a _{dl_idx} suffix.
+        val_loaders = []
+        for a in all_args:
+            vl = build.build_loader(
+                dict(a), "val", tokenizer,
+                batch_size=int(trainer_cfg.get("val_batch_size", 8)))
+            vl.drop_last = False
+            val_loaders.append(vl)
 
         def valid(state, epoch, mlog):
-            m = evaluate_egomcq(model, state.params, val_loader,
-                                input_res=input_res)
+            out = {}
+            for dl_idx, vl in enumerate(val_loaders):
+                m = evaluate_egomcq(model, state.params, vl,
+                                    input_res=input_res)
+                out.update(m if dl_idx == 0 else
+                           {f"{k}_{dl_idx}": v for k, v in m.items()})
             mlog.set_step(epoch, "val")
-            mlog.scalars(m)
-            return m
+            mlog.scalars(out)
+            return out
 
     elif task == "epic":
         step = make_epic_train_step(

@@ -152,17 +152,26 @@ def test_convert_cli_roundtrip(tiny_config, tmp_path):
         np.testing.assert_allclose(a[k], b[k], rtol=1e-6, err_msg=k)
 
 
-def test_run_task_multi_loader(tiny_config):
+def test_run_task_multi_loader(tiny_config, caplog):
     """data_loader as a LIST: one optimizer step per loader per batch index
-    (the reference's nested data_loader loop)."""
+    (the reference's nested data_loader loop), a val loader PER entry
+    (run/train_egoclip.py:101-125) and per-loader loss_{i} epoch logs
+    (trainer_egoclip.py:143-148, 165-167)."""
+    import logging
+
     cfg = tiny_config.clone()
     dl = dict(cfg["data_loader"])
     cfg["data_loader"] = [dl, dict(dl)]
     cfg.override("trainer.epochs", 1)
     cfg.override("trainer.monitor", "off")
-    state = run_task(cfg)
+    with caplog.at_level(logging.INFO, logger="egovlp_tpu"):
+        state = run_task(cfg)
     # 6 items / (bs 1 * 2 chips) = 3 batch indices x 2 loaders = 6 steps
     assert int(state.step) == 6
+    text = "\n".join(r.getMessage() for r in caplog.records)
+    assert "loss_0" in text and "loss_1" in text
+    # loader 0 keeps plain metric names (monitor compat); loader 1 suffixed
+    assert "Inter-video" in text and "Inter-video_1" in text
 
 
 def test_cli_eval_smoke(tiny_config, tmp_path):
@@ -343,6 +352,97 @@ def test_cli_eval_pnr_smoke(tiny_config, tmp_path):
     out = json.loads(text[text.rfind("\n{") + 1:] if "\n{" in text else text)
     assert any("err" in k.lower() or "dist" in k.lower() or "sec" in k.lower()
                for k in out), out
+
+
+def test_reference_pth_roundtrip_fresh_process(tiny_config, tmp_path):
+    """VERDICT r3 #3: train -> save_torch_checkpoint (the reference's
+    on-disk {state_dict, epoch, monitor_best} torch pickle,
+    base_trainer.py:399-422) -> a FRESH python process running
+    `cli.eval --checkpoint x.pth` -> metrics finite and equal to the
+    in-process eval on the same params (ref load path model/model.py:88-95,
+    strict torch load run/test_epic.py:85-89)."""
+    import subprocess
+    import sys
+
+    import jax
+
+    from egovlp_tpu.evals.egomcq import evaluate_egomcq
+    from egovlp_tpu.models.convert import save_torch_checkpoint
+    from egovlp_tpu.train import build
+    from egovlp_tpu.train.recipes import _dl_args
+
+    cfg = tiny_config.clone()
+    cfg.override("trainer.epochs", 1)
+    cfg.override("trainer.monitor", "off")
+    state = run_task(cfg)
+
+    mcfg = build.build_model_config(cfg["arch"])
+    pth = tmp_path / "trained.pth"
+    save_torch_checkpoint(jax.device_get(state.params), mcfg, str(pth),
+                          epoch=1)
+
+    # in-process eval on the live trained params (same loader settings
+    # cli.eval uses: val split, val_batch_size default 8)
+    model, _ = build.build_model(cfg["arch"])
+    tokenizer = build.build_tokenizer(cfg, 8)
+    loader = build.build_loader(_dl_args(cfg), "val", tokenizer, batch_size=8)
+    loader.drop_last = False
+    m_in = evaluate_egomcq(model, state.params, loader, input_res=32)
+
+    cfg_path = tmp_path / "eval_cfg.json"
+    cfg_path.write_text(json.dumps(dict(cfg)))
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    # drop the axon/TPU plugin hook: sitecustomize registers the TPU
+    # backend whenever PALLAS_AXON_POOL_IPS is set, overriding
+    # JAX_PLATFORMS=cpu (tests must never touch the real chip)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-m", "egovlp_tpu.cli.eval",
+         "--config", str(cfg_path), "--checkpoint", str(pth)],
+        capture_output=True, text=True, env=env, cwd=repo_root, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout
+    m_sub = json.loads(out[out.rfind("\n{") + 1:])
+    assert set(m_sub) == set(m_in)
+    for k, v in m_in.items():
+        assert np.isfinite(m_sub[k]), k
+        np.testing.assert_allclose(m_sub[k], v, rtol=1e-5, err_msg=k)
+
+
+def test_cli_train_eval_only_config(tiny_config, tmp_path, caplog):
+    """epochs=0 + init_val=true is the eval-only preset (the reference's
+    eval_mode configs, parse_config.py:30-44 / configs/eval/egomcq.json):
+    cli.train runs validation once and exits without training or writing
+    checkpoints."""
+    import glob
+    import logging
+
+    from egovlp_tpu.cli.train import main
+
+    cfg = tiny_config.clone()
+    cfg.override("trainer.epochs", 0)
+    cfg.override("trainer.init_val", True)
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(dict(cfg)))
+    with caplog.at_level(logging.INFO, logger="egovlp_tpu"):
+        main(["--config", str(cfg_path)])
+    text = "\n".join(r.getMessage() for r in caplog.records)
+    assert "init_val" in text and "Inter-video" in text
+    save_root = cfg["trainer"]["save_dir"]
+    assert not glob.glob(os.path.join(save_root, "models", "*", "*",
+                                      "checkpoint-epoch*"))
+    assert not glob.glob(os.path.join(save_root, "models", "*", "*",
+                                      "model_best"))
+    # the shipped eval configs use exactly this preset
+    with open("configs/eval/egomcq.json") as f:
+        shipped = json.load(f)
+    assert shipped["trainer"]["epochs"] == 0
+    assert shipped["trainer"]["init_val"] is True
 
 
 def test_run_task_bf16_moments_and_zero(tiny_config):
