@@ -54,6 +54,12 @@ def _load():
                 ctypes.c_int,
                 ctypes.POINTER(ctypes.c_uint8),
             ]
+            # per-phase profile counters (older .so builds lack them)
+            if hasattr(lib, "ed_stats"):
+                lib.ed_stats.argtypes = [ctypes.POINTER(ctypes.c_double)]
+                lib.ed_stats.restype = None
+                lib.ed_stats_reset.argtypes = []
+                lib.ed_stats_reset.restype = None
             _lib = lib
             return _lib
         return None
@@ -61,6 +67,24 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def decode_stats(reset: bool = False) -> dict:
+    """Process-wide per-phase decode profile (seconds + counts) accumulated
+    in the C runtime since start / last reset: where a clip's decode budget
+    goes (container open+probe, av_seek, codec decode, swscale+crop)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ed_stats"):
+        return {}
+    buf = (ctypes.c_double * 8)()
+    lib.ed_stats(buf)
+    if reset:
+        lib.ed_stats_reset()
+    return {
+        "open_s": buf[0], "seek_s": buf[1], "decode_s": buf[2],
+        "sws_s": buf[3], "n_open": int(buf[4]), "n_seek": int(buf[5]),
+        "n_frames_decoded": int(buf[6]), "n_frames_out": int(buf[7]),
+    }
 
 
 class NativeVideo:

@@ -208,7 +208,10 @@ class Loader:
     def __len__(self):
         n = len(self.subset) if self.subset is not None else len(self.dataset)
         if self.max_samples_per_epoch:
-            n = min(n, self.max_samples_per_epoch)
+            # an epoch can be SHORTER (truncate) or LONGER (cycle, the
+            # reference's inf_loop epoch stretching, utils/util.py) than
+            # the dataset
+            n = self.max_samples_per_epoch
         per_shard = n // self.num_shards if self.drop_last else -(-n // self.num_shards)
         return per_shard // self.batch_size if self.drop_last else -(-per_shard // self.batch_size)
 
@@ -221,7 +224,14 @@ class Loader:
         if self.subset is not None:
             idx = np.asarray(self.subset)[idx]
         if self.max_samples_per_epoch:
-            idx = idx[: self.max_samples_per_epoch // self.num_shards]
+            target = self.max_samples_per_epoch // self.num_shards
+            if 0 < len(idx) < target:
+                # max_samples_per_epoch beyond the dataset size cycles the
+                # epoch's order (the reference wraps its loader in
+                # utils/util.py::inf_loop and bounds the epoch by
+                # max_samples_per_epoch alone, trainer_egoclip.py:104-105)
+                idx = np.concatenate([idx] * (-(-target // len(idx))))
+            idx = idx[:target]
         batches = [
             idx[i:i + self.batch_size]
             for i in range(0, len(idx) - self.batch_size + 1, self.batch_size)
@@ -347,10 +357,16 @@ def device_prefetch(iterator, mesh, depth: int = 2):
 
     from egovlp_tpu.core.mesh import shard_batch
 
+    import jax
+
     buf = deque()
     for batch in iterator:
+        # numeric payload only (strings/lists stay host-side); values that
+        # are ALREADY device arrays pass through — device_put with an equal
+        # sharding is a no-op, so pre-sharded batches aren't re-transferred
+        # (and aren't silently dropped, as the numpy-only filter used to do)
         arrays = {k: v for k, v in batch.items()
-                  if isinstance(v, np.ndarray)}
+                  if isinstance(v, (np.ndarray, jax.Array))}
         buf.append(shard_batch(arrays, mesh))
         if len(buf) > depth:
             yield buf.popleft()

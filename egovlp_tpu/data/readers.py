@@ -93,9 +93,74 @@ def open_video(path: str, backend: str = "auto"):
     return _Cv2Video(path)
 
 
+# --------------------------------------------------------------------------
+# per-thread open-handle cache
+# --------------------------------------------------------------------------
+# Container open + stream probe (avformat_find_stream_info reads MBs of the
+# file) is a large share of the per-clip budget, and EgoClip reads the SAME
+# 600 s chunk 2-4x per item: positive clip + scene negative share a segment
+# (datasets/egoclip.py), and EgoMCQ items read 5 options.  Each Loader
+# decode thread keeps a small LRU of open decoders; decoders are fully
+# repositionable (seek_to handles any order), so reuse is free.
+# EGOVLP_READER_CACHE sets the per-thread capacity (0 disables).
+
+_CACHE_CAP = int(os.environ.get("EGOVLP_READER_CACHE", "4"))
+_tls = __import__("threading").local()
+
+
+def _cache_dict():
+    d = getattr(_tls, "videos", None)
+    if d is None:
+        from collections import OrderedDict
+
+        d = _tls.videos = OrderedDict()
+    return d
+
+
+def acquire_video(path: str, backend: str = "auto"):
+    """Checked-out open handle for ``path`` — from this thread's cache when
+    present, freshly opened otherwise.  Pair with release_video()."""
+    if _CACHE_CAP <= 0:
+        return open_video(path, backend)
+    v = _cache_dict().pop((path, backend), None)
+    return v if v is not None else open_video(path, backend)
+
+
+def release_video(path: str, backend: str, video, ok: bool = True) -> None:
+    """Return a handle to this thread's cache (LRU-evicting past capacity);
+    ``ok=False`` (decode error — decoder state is suspect) closes instead."""
+    if _CACHE_CAP <= 0 or not ok:
+        video.close()
+        return
+    d = _cache_dict()
+    old = d.pop((path, backend), None)
+    if old is not None and old is not video:
+        old.close()  # duplicate handle for the same file: keep the newest
+    d[(path, backend)] = video
+    while len(d) > _CACHE_CAP:
+        _, old = d.popitem(last=False)
+        old.close()
+
+
+class cached_video:
+    """Context manager over acquire/release (drop-in for open_video)."""
+
+    def __init__(self, path: str, backend: str = "auto"):
+        self.path, self.backend = path, backend
+        self.video = acquire_video(path, backend)
+
+    def __enter__(self):
+        return self.video
+
+    def __exit__(self, exc_type, *exc):
+        release_video(self.path, self.backend, self.video,
+                      ok=exc_type is None)
+        return False
+
+
 def get_video_len(path: str, backend: str = "auto") -> int:
     try:
-        with open_video(path, backend) as v:
+        with cached_video(path, backend) as v:
             return v.frame_count
     except Exception:
         return 0
@@ -123,7 +188,7 @@ def read_frames(video_path: str, num_frames: int, sample: str = "rand",
                 rng: Optional[np.random.Generator] = None,
                 backend: str = "auto") -> Tuple[np.ndarray, List[int]]:
     """Generic whole-video reader ('cv2'/'decord'/'av' equivalents)."""
-    with open_video(video_path, backend) as v:
+    with cached_video(video_path, backend) as v:
         idxs = sample_frames(num_frames, max(v.frame_count, 1), sample,
                              fix_start=fix_start, rng=rng)
         frames, ok = v.read_frames(idxs, pre_size)
@@ -146,8 +211,9 @@ def read_frames_egoclip(video_path_1: str, video_path_2: str,
                                    rng=rng)
 
     same = video_path_1 == video_path_2
-    v1 = open_video(video_path_1, backend)
-    v2 = v1 if same else open_video(video_path_2, backend)
+    ok = False
+    v1 = acquire_video(video_path_1, backend)
+    v2 = v1 if same else acquire_video(video_path_2, backend)
     try:
         chunk_len = CHUNK_SEC * EGOCLIP_FPS
         locals_1, locals_2, order = [], [], []
@@ -166,10 +232,14 @@ def read_frames_egoclip(video_path_1: str, video_path_2: str,
         out = np.zeros((len(idxs), pre_size, pre_size, 3), np.uint8)
         for i, which, j in order:
             out[i] = f1[j] if which == 1 else f2[j]
+        ok = True
     finally:
-        v1.close()
+        # handles go back to this thread's cache (the scene negative of the
+        # same item almost always re-reads the same 600 s chunk); a decode
+        # error closes them instead
+        release_video(video_path_1, backend, v1, ok=ok)
         if not same:
-            v2.close()
+            release_video(video_path_2, backend, v2, ok=ok)
     return _pad_to(out, len(idxs), num_frames), idxs
 
 
@@ -203,7 +273,7 @@ def read_frames_charades(video_path: str, num_frames: int, sample: str,
                          backend: str = "auto"):
     """CharadesEgo reader (base_dataset.py:318-349): optional second-based
     bounds scaled by the container fps."""
-    with open_video(video_path, backend) as v:
+    with cached_video(video_path, backend) as v:
         if not start_sec and not end_sec:
             idxs = sample_frames(num_frames, max(v.frame_count, 1), sample,
                                  rng=rng)

@@ -92,15 +92,18 @@ def _make_train_epoch_fn(loader, step_fn, mesh, max_samples, log_step,
         # measures this loop against the raw-step roofline).
         losses = [[] for _ in loaders]
         n = 0
+        # epoch key hoisted: ONE fold_in program per step — every extra
+        # tiny device program in the loop costs fixed dispatch latency
+        # (scripts/trainer_loop_bench.py)
+        ekey = jax.random.fold_in(jax.random.PRNGKey(seed), epoch)
+        nl = len(loaders)
         # one optimizer step per loader per batch index, like the
         # reference's nested loop over its data_loader list
         for i, batch_tuple in enumerate(zip(*streams)):
             if max_samples and (i + 1) * loader.batch_size > max_samples:
                 break
             for dl_idx, batch in enumerate(batch_tuple):
-                rng = jax.random.fold_in(jax.random.fold_in(
-                    jax.random.fold_in(jax.random.PRNGKey(seed), epoch), i),
-                    dl_idx)
+                rng = jax.random.fold_in(ekey, i * nl + dl_idx)
                 state, loss = step_fn(state, batch, rng)
                 losses[dl_idx].append(loss)
                 n += 1

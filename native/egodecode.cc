@@ -10,8 +10,10 @@
 //
 // Build: make -C native (links libavformat/libavcodec/libavutil/libswscale).
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <ctime>
 #include <string>
 #include <vector>
 
@@ -23,6 +25,30 @@ extern "C" {
 }
 
 namespace {
+
+// Process-global per-phase profile counters (nanoseconds / event counts),
+// read via ed_stats() from Python (scripts/decode_profile.py).  Atomics so
+// the Loader's decode threads can accumulate concurrently; the per-frame
+// overhead is two clock_gettime calls per phase (~50 ns each), invisible
+// next to ms-scale decode work.
+std::atomic<long long> g_open_ns{0}, g_seek_ns{0}, g_decode_ns{0},
+    g_sws_ns{0};
+std::atomic<long long> g_n_open{0}, g_n_seek{0}, g_n_frames_decoded{0},
+    g_n_frames_out{0};
+
+// Thread CPU time, not wall time: with many decode threads per core the
+// wall numbers inflate by scheduler contention; CPU time is the honest
+// per-phase cost (open is the exception — it includes disk I/O wait, but
+// chunk files are page-cached in steady state).
+struct PhaseTimer {
+  struct timespec t0;
+  PhaseTimer() { clock_gettime(CLOCK_THREAD_CPUTIME_ID, &t0); }
+  long long ns() const {
+    struct timespec t1;
+    clock_gettime(CLOCK_THREAD_CPUTIME_ID, &t1);
+    return (t1.tv_sec - t0.tv_sec) * 1000000000LL + (t1.tv_nsec - t0.tv_nsec);
+  }
+};
 
 struct Decoder {
   AVFormatContext* fmt = nullptr;
@@ -59,6 +85,8 @@ int64_t guess_frame_count(Decoder* d) {
 extern "C" {
 
 void* ed_open(const char* path) {
+  PhaseTimer pt;
+  g_n_open.fetch_add(1, std::memory_order_relaxed);
   auto* d = new Decoder();
   if (avformat_open_input(&d->fmt, path, nullptr, nullptr) < 0) {
     delete d;
@@ -93,7 +121,27 @@ void* ed_open(const char* path) {
   d->frame_count = guess_frame_count(d);
   d->frame = av_frame_alloc();
   d->pkt = av_packet_alloc();
+  g_open_ns.fetch_add(pt.ns(), std::memory_order_relaxed);
   return d;
+}
+
+// Per-phase profile counters since process start (or last reset):
+// out[0..3] = open/seek/decode/swscale seconds,
+// out[4..7] = open/seek/decoded-frame/output-frame counts.
+void ed_stats(double* out8) {
+  out8[0] = g_open_ns.load(std::memory_order_relaxed) / 1e9;
+  out8[1] = g_seek_ns.load(std::memory_order_relaxed) / 1e9;
+  out8[2] = g_decode_ns.load(std::memory_order_relaxed) / 1e9;
+  out8[3] = g_sws_ns.load(std::memory_order_relaxed) / 1e9;
+  out8[4] = (double)g_n_open.load(std::memory_order_relaxed);
+  out8[5] = (double)g_n_seek.load(std::memory_order_relaxed);
+  out8[6] = (double)g_n_frames_decoded.load(std::memory_order_relaxed);
+  out8[7] = (double)g_n_frames_out.load(std::memory_order_relaxed);
+}
+
+void ed_stats_reset() {
+  g_open_ns = g_seek_ns = g_decode_ns = g_sws_ns = 0;
+  g_n_open = g_n_seek = g_n_frames_decoded = g_n_frames_out = 0;
 }
 
 void ed_close(void* h) {
@@ -126,10 +174,12 @@ namespace {
 // Decode forward until reaching target_index (frame counter based on
 // presentation order after the last seek point).
 bool decode_to(Decoder* d, int64_t target_index) {
+  PhaseTimer pt;
   // Current stream position in frames, derived from pts of last frame.
   while (true) {
     int ret = avcodec_receive_frame(d->codec, d->frame);
     if (ret == 0) {
+      g_n_frames_decoded.fetch_add(1, std::memory_order_relaxed);
       int64_t idx;
       if (d->frame->pts != AV_NOPTS_VALUE && d->fps > 0) {
         double sec = d->frame->pts * av_q2d(d->stream->time_base);
@@ -138,7 +188,10 @@ bool decode_to(Decoder* d, int64_t target_index) {
         idx = d->last_decoded_index + 1;
       }
       d->last_decoded_index = idx;
-      if (idx >= target_index) return true;
+      if (idx >= target_index) {
+        g_decode_ns.fetch_add(pt.ns(), std::memory_order_relaxed);
+        return true;
+      }
       continue;
     }
     if (ret == AVERROR(EAGAIN)) {
@@ -159,6 +212,7 @@ bool decode_to(Decoder* d, int64_t target_index) {
       }
       continue;
     }
+    g_decode_ns.fetch_add(pt.ns(), std::memory_order_relaxed);
     return false;  // EOF or error
   }
 }
@@ -170,19 +224,24 @@ bool seek_to(Decoder* d, int64_t index) {
       index - d->last_decoded_index <= 64) {
     return decode_to(d, index);
   }
+  PhaseTimer pt;
+  g_n_seek.fetch_add(1, std::memory_order_relaxed);
   double sec = d->fps > 0 ? index / d->fps : 0.0;
   int64_t ts = (int64_t)(sec / av_q2d(d->stream->time_base) + 0.5);
   if (av_seek_frame(d->fmt, d->stream_index, ts, AVSEEK_FLAG_BACKWARD) < 0) {
+    g_seek_ns.fetch_add(pt.ns(), std::memory_order_relaxed);
     return false;
   }
   avcodec_flush_buffers(d->codec);
   d->last_decoded_index = -2;
+  g_seek_ns.fetch_add(pt.ns(), std::memory_order_relaxed);
   return decode_to(d, index);
 }
 
 // Convert d->frame to RGB24 with short-side resize to `pre` and center
 // crop pre x pre into out (pre*pre*3 bytes).
 bool convert_frame(Decoder* d, int pre, uint8_t* out) {
+  PhaseTimer pt;
   const int w = d->frame->width, h = d->frame->height;
   if (w <= 0 || h <= 0) return false;
   int sw, sh;
@@ -224,6 +283,8 @@ bool convert_frame(Decoder* d, int pre, uint8_t* out) {
                 tmp.data() + (size_t)(y0 + row) * stride + (size_t)x0 * 3,
                 (size_t)pre * 3);
   }
+  g_sws_ns.fetch_add(pt.ns(), std::memory_order_relaxed);
+  g_n_frames_out.fetch_add(1, std::memory_order_relaxed);
   return true;
 }
 

@@ -370,7 +370,24 @@ def test_device_prefetch(egoclip_root):
     assert "data" in str(batches[0]["frames"].sharding.spec)
 
 
-def test_collate_folds_channels(egoclip_root, rng):
+def test_max_samples_per_epoch_truncates_and_cycles(egoclip_root):
+    """max_samples_per_epoch below the dataset size truncates the epoch;
+    ABOVE it the epoch cycles the same order (the reference stretches
+    epochs by wrapping its loader in utils/util.py::inf_loop and bounding
+    on max_samples_per_epoch alone, trainer_egoclip.py:104-105)."""
+    ds = EgoClipDataset(_cfg(data_dir=egoclip_root, split="train",
+                             num_frames=2))  # 6 items
+    short = Loader(ds, batch_size=2, shuffle=False, max_samples_per_epoch=4)
+    assert len(short) == 2
+    assert len(list(short.epoch(0))) == 2
+
+    stretched = Loader(ds, batch_size=2, shuffle=False,
+                       max_samples_per_epoch=14)
+    assert len(stretched) == 7
+    batches = list(stretched.epoch(0))
+    assert len(batches) == 7
+    texts = [t for b in batches for t in b["text"]]
+    assert texts[:6] == texts[6:12]  # cycled same epoch order
     ds = EgoClipDataset(_cfg(data_dir=egoclip_root, split="train",
                              num_frames=2))
     loader = Loader(ds, batch_size=2, shuffle=False)
