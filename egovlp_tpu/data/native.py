@@ -60,6 +60,16 @@ def _load():
                 lib.ed_stats.restype = None
                 lib.ed_stats_reset.argtypes = []
                 lib.ed_stats_reset.restype = None
+            if hasattr(lib, "ed_stats9"):
+                lib.ed_stats9.argtypes = [ctypes.POINTER(ctypes.c_double)]
+                lib.ed_stats9.restype = None
+            if hasattr(lib, "ed_encode_video"):
+                lib.ed_encode_video.restype = ctypes.c_int
+                lib.ed_encode_video.argtypes = [
+                    ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_double, ctypes.c_int, ctypes.c_int,
+                ]
             _lib = lib
             return _lib
         return None
@@ -76,15 +86,41 @@ def decode_stats(reset: bool = False) -> dict:
     lib = _load()
     if lib is None or not hasattr(lib, "ed_stats"):
         return {}
-    buf = (ctypes.c_double * 8)()
-    lib.ed_stats(buf)
+    buf = (ctypes.c_double * 9)()
+    if hasattr(lib, "ed_stats9"):
+        lib.ed_stats9(buf)
+    else:
+        lib.ed_stats(buf)
     if reset:
         lib.ed_stats_reset()
     return {
         "open_s": buf[0], "seek_s": buf[1], "decode_s": buf[2],
         "sws_s": buf[3], "n_open": int(buf[4]), "n_seek": int(buf[5]),
         "n_frames_decoded": int(buf[6]), "n_frames_out": int(buf[7]),
+        "n_frames_skipped": int(buf[8]),
     }
+
+
+def encode_video(path: str, frames: np.ndarray, fps: float = 30.0,
+                 gop: int = 12, max_b_frames: int = 0) -> bool:
+    """Encode uint8 RGB frames ``[n, h, w, 3]`` to an mpeg4 .mp4.
+
+    Test support: the environment has no ffmpeg CLI and cv2 cannot emit
+    B-frames, so this is the only way to build genuinely reordered streams
+    (``max_b_frames > 0``) that exercise the decoder's pts-indexing and
+    skip-roll paths.  Returns False if the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "ed_encode_video"):
+        return False
+    arr = np.ascontiguousarray(frames, np.uint8)
+    if arr.ndim != 4 or arr.shape[-1] != 3:
+        raise ValueError(f"frames must be [n, h, w, 3], got {arr.shape}")
+    n, h, w, _ = arr.shape
+    rc = lib.ed_encode_video(
+        str(path).encode(), arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, w, h, float(fps), int(gop), int(max_b_frames))
+    return rc == 0
 
 
 class NativeVideo:

@@ -34,7 +34,7 @@ namespace {
 std::atomic<long long> g_open_ns{0}, g_seek_ns{0}, g_decode_ns{0},
     g_sws_ns{0};
 std::atomic<long long> g_n_open{0}, g_n_seek{0}, g_n_frames_decoded{0},
-    g_n_frames_out{0};
+    g_n_frames_out{0}, g_n_frames_skipped{0};
 
 // Thread CPU time, not wall time: with many decode threads per core the
 // wall numbers inflate by scheduler contention; CPU time is the honest
@@ -139,9 +139,18 @@ void ed_stats(double* out8) {
   out8[7] = (double)g_n_frames_out.load(std::memory_order_relaxed);
 }
 
+// ed_stats plus out[8] = frames skipped by the roll fast path
+// (skip_frame = NONREF while far from the target).  Separate symbol so an
+// old binding passing an 8-double buffer to ed_stats can never overflow.
+void ed_stats9(double* out9) {
+  ed_stats(out9);
+  out9[8] = (double)g_n_frames_skipped.load(std::memory_order_relaxed);
+}
+
 void ed_stats_reset() {
   g_open_ns = g_seek_ns = g_decode_ns = g_sws_ns = 0;
   g_n_open = g_n_seek = g_n_frames_decoded = g_n_frames_out = 0;
+  g_n_frames_skipped = 0;
 }
 
 void ed_close(void* h) {
@@ -173,10 +182,24 @@ namespace {
 
 // Decode forward until reaching target_index (frame counter based on
 // presentation order after the last seek point).
+//
+// Roll fast path (lossless): frames decoded only to advance the stream
+// from the seek keyframe to the target don't all need pixels — a
+// NON-REFERENCE frame (typical B-frame) in the roll is by definition
+// never used to predict any later frame, so telling the codec to skip it
+// (skip_frame = AVDISCARD_NONREF) cannot change the target frame's bits.
+// A reorder-depth margin before the target keeps the skip from eating the
+// target itself if it happens to be a non-ref frame (H.264 caps reference
+// depth at 16).
 bool decode_to(Decoder* d, int64_t target_index) {
   PhaseTimer pt;
+  const int64_t kSkipMargin = 16;
+  const AVDiscard kDefaultSkip = d->codec->skip_frame;
   // Current stream position in frames, derived from pts of last frame.
   while (true) {
+    bool rolling = d->last_decoded_index >= 0 &&
+                   target_index - d->last_decoded_index > kSkipMargin;
+    d->codec->skip_frame = rolling ? AVDISCARD_NONREF : kDefaultSkip;
     int ret = avcodec_receive_frame(d->codec, d->frame);
     if (ret == 0) {
       g_n_frames_decoded.fetch_add(1, std::memory_order_relaxed);
@@ -187,8 +210,13 @@ bool decode_to(Decoder* d, int64_t target_index) {
       } else {
         idx = d->last_decoded_index + 1;
       }
+      if (rolling && idx > d->last_decoded_index + 1) {
+        g_n_frames_skipped.fetch_add(idx - d->last_decoded_index - 1,
+                                     std::memory_order_relaxed);
+      }
       d->last_decoded_index = idx;
       if (idx >= target_index) {
+        d->codec->skip_frame = kDefaultSkip;
         g_decode_ns.fetch_add(pt.ns(), std::memory_order_relaxed);
         return true;
       }
@@ -212,6 +240,7 @@ bool decode_to(Decoder* d, int64_t target_index) {
       }
       continue;
     }
+    d->codec->skip_frame = kDefaultSkip;
     g_decode_ns.fetch_add(pt.ns(), std::memory_order_relaxed);
     return false;  // EOF or error
   }
@@ -319,6 +348,91 @@ int ed_read_frames(void* h, const int64_t* indices, int n, int pre,
     }
   }
   return ok;
+}
+
+// ---------------------------------------------------------------------------
+// Test-support encoder.  The environment has no ffmpeg CLI and cv2 can only
+// produce B-frame-free mpeg4 streams, so decoder tests could never exercise
+// the reorder/skip paths (pts-based indexing with B-frames, the
+// skip_frame=NONREF roll).  This encodes caller-provided RGB24 frames with a
+// chosen GOP size and B-frame count via libavcodec's mpeg4 encoder — enough
+// to build real reordered streams for fixtures.  Returns 0 on success.
+
+int ed_encode_video(const char* path, const uint8_t* rgb, int n, int w,
+                    int h, double fps, int gop, int max_b_frames) {
+  AVFormatContext* fmt = nullptr;
+  if (avformat_alloc_output_context2(&fmt, nullptr, nullptr, path) < 0 ||
+      !fmt)
+    return -1;
+  const AVCodec* enc = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+  if (!enc) {
+    avformat_free_context(fmt);
+    return -2;
+  }
+  AVStream* st = avformat_new_stream(fmt, enc);
+  AVCodecContext* c = avcodec_alloc_context3(enc);
+  c->width = w;
+  c->height = h;
+  c->pix_fmt = AV_PIX_FMT_YUV420P;
+  c->time_base = AVRational{100, (int)(fps * 100 + 0.5)};
+  c->gop_size = gop;
+  c->max_b_frames = max_b_frames;
+  c->bit_rate = (int64_t)w * h * 8 * (int)fps;  // generous; content fidelity
+  if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+    c->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  int rc = -3;
+  SwsContext* sws = nullptr;
+  AVFrame* fr = nullptr;
+  AVPacket* pkt = nullptr;
+  if (avcodec_open2(c, enc, nullptr) < 0) goto done;
+  avcodec_parameters_from_context(st->codecpar, c);
+  st->time_base = c->time_base;
+  if (!(fmt->oformat->flags & AVFMT_NOFILE) &&
+      avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0)
+    goto done;
+  if (avformat_write_header(fmt, nullptr) < 0) goto done;
+
+  sws = sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h, AV_PIX_FMT_YUV420P,
+                       SWS_BILINEAR, nullptr, nullptr, nullptr);
+  fr = av_frame_alloc();
+  pkt = av_packet_alloc();
+  fr->format = AV_PIX_FMT_YUV420P;
+  fr->width = w;
+  fr->height = h;
+  if (av_frame_get_buffer(fr, 0) < 0 || !sws) goto done;
+
+  for (int i = 0; i <= n; ++i) {
+    AVFrame* send = nullptr;
+    if (i < n) {
+      av_frame_make_writable(fr);
+      const uint8_t* src[1] = {rgb + (size_t)i * w * h * 3};
+      const int src_ls[1] = {w * 3};
+      sws_scale(sws, src, src_ls, 0, h, fr->data, fr->linesize);
+      fr->pts = i;
+      send = fr;
+    }
+    if (avcodec_send_frame(c, send) < 0) goto done;  // null = flush
+    while (true) {
+      int r = avcodec_receive_packet(c, pkt);
+      if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) break;
+      if (r < 0) goto done;
+      av_packet_rescale_ts(pkt, c->time_base, st->time_base);
+      pkt->stream_index = st->index;
+      if (av_interleaved_write_frame(fmt, pkt) < 0) goto done;
+    }
+  }
+  if (av_write_trailer(fmt) < 0) goto done;
+  rc = 0;
+
+done:
+  if (sws) sws_freeContext(sws);
+  av_frame_free(&fr);
+  av_packet_free(&pkt);
+  avcodec_free_context(&c);
+  if (fmt && !(fmt->oformat->flags & AVFMT_NOFILE) && fmt->pb)
+    avio_closep(&fmt->pb);
+  avformat_free_context(fmt);
+  return rc;
 }
 
 }  // extern "C"
