@@ -252,6 +252,51 @@ def _time_xla_parts(qc, kc, vc, qp, kp, vp, *, heads: int, frames: int,
     return cls_out, out.reshape((B, f, n, D) if grid_in else (B, Sp, D))
 
 
+def _time_xla_parts_v2(qc, kc, vc, qp, kp, vp, *, heads: int, frames: int,
+                       patches: int):
+    """Time-axis XLA attention with CANONICAL shared relayouts.
+
+    Same math as ``_time_xla_parts``, but the (n, H)-major layout the
+    batched dots want is produced by ONE explicit transpose per tensor
+    (q/k/v in, out back) that every consumer shares.  In v1 the layout
+    oscillation is left to XLA's layout assignment, which re-lays each
+    tensor per consumer — the device profile of the 16f step attributes
+    ~60 ms/step of 'data formatting' copies to this path (~10 copies of
+    [B,f,n,H,hd]-sized tensors per block fwd+bwd, trace_hlo_stats); the
+    minimal count is 4 per direction.  A/B'd on the real chip by
+    scripts/attn16_ab.py with variant 'mixed2'.
+    """
+    grid_in = qp.ndim == 4
+    B, D = qp.shape[0], qp.shape[-1]
+    Sp = frames * patches
+    H, hd = heads, D // heads
+    scale = float(hd) ** -0.5
+    dtype = qp.dtype
+    f, n = frames, patches
+
+    cls_out = _cls_row_parts(qc, kc, vc, kp, vp, H, scale, dtype)
+
+    def to6(t):
+        # [B,f,n,D] -> [B,n,H,f,hd]: the head split is a free last-dim
+        # reshape on the grid; the transpose is the one shared relayout
+        return t.reshape(B, f, n, H, hd).transpose(0, 2, 3, 1, 4)
+
+    q6, k6, v6 = to6(qp), to6(kp), to6(vp)
+    kc3 = kc.reshape(B, H, hd)
+    vc3 = vc.reshape(B, H, hd)
+    # every dot below consumes the SAME [B,n,H,...] batch-major layout
+    lg = jnp.einsum("bnhqd,bnhkd->bnhqk", q6, k6,
+                    preferred_element_type=jnp.float32) * scale
+    lg_cls = jnp.einsum("bnhqd,bhd->bnhq", q6, kc3,
+                        preferred_element_type=jnp.float32) * scale
+    full = jnp.concatenate([lg_cls[..., None], lg], axis=-1)
+    pr = jax.nn.softmax(full, axis=-1).astype(dtype)
+    out6 = jnp.einsum("bnhqk,bnhkd->bnhqd", pr[..., 1:], v6)
+    out6 = out6 + pr[..., 0][..., None] * vc3[:, None, :, None, :]
+    out = out6.transpose(0, 3, 1, 2, 4)  # back to [B,f,n,H,hd]
+    return cls_out, out.reshape((B, f, n, D) if grid_in else (B, Sp, D))
+
+
 def divided_attention_parts(qc, kc, vc, qp, kp, vp, *, heads: int,
                             frames: int, patches: int, axis: str,
                             impl: str = "pallas"):
@@ -289,9 +334,11 @@ def divided_attention_parts(qc, kc, vc, qp, kp, vp, *, heads: int,
         if axis == "time":
             # native pair-layout XLA path: ~3x less HBM layout traffic
             # than the concat+head-split fallback (see _time_xla_parts;
-            # rank-preserving, so the grid layout passes straight through)
-            return _time_xla_parts(qc, kc, vc, qp, kp, vp, heads=heads,
-                                   frames=frames, patches=patches)
+            # rank-preserving, so the grid layout passes straight through).
+            # 'xla2' = canonical shared relayouts (_time_xla_parts_v2).
+            fn = _time_xla_parts_v2 if impl == "xla2" else _time_xla_parts
+            return fn(qc, kc, vc, qp, kp, vp, heads=heads,
+                      frames=frames, patches=patches)
         # space XLA fallback: the generic concat path wants flat [B, S, D]
         # (non-production on TPU — 'auto' always picks the space kernel;
         # on CPU/interpret the flatten is layout-free)

@@ -56,11 +56,12 @@ def test_matches_naive(rng, axis):
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("impl", ["xla", "xla2"])
 @pytest.mark.parametrize("f,n", [(4, 5), (16, 7)])
-def test_time_xla_parts_matches_generic(rng, f, n):
-    """The native pair-layout XLA time path (_time_xla_parts — the 16f
-    production path) matches the concat+head-split formulation, values and
-    gradients."""
+def test_time_xla_parts_matches_generic(rng, f, n, impl):
+    """The native pair-layout XLA time paths (_time_xla_parts and the
+    canonical-relayout _time_xla_parts_v2 — the 16f production path)
+    match the concat+head-split formulation, values and gradients."""
     from egovlp_tpu.kernels.divided_attention import (
         divided_attention_bsd, divided_attention_parts)
 
@@ -75,7 +76,7 @@ def test_time_xla_parts_matches_generic(rng, f, n):
     def run_parts(qc, kc, vc, qp, kp, vp):
         oc, op = divided_attention_parts(qc, kc, vc, qp, kp, vp, heads=H,
                                          frames=f, patches=n, axis="time",
-                                         impl="xla")
+                                         impl=impl)
         return jnp.concatenate([oc, op], axis=1)
 
     def run_generic(qc, kc, vc, qp, kp, vp):
