@@ -580,6 +580,16 @@ def make_space_attention_bsd(heads: int, scale: float):
     return fn
 
 
+def _time_fwd_body(scale, hd, hpb):
+    return (_mk_time_fwd_bsd_v2 if _time_kernel_variant() == "v2"
+            else _mk_time_fwd_bsd)(scale, hd, hpb)
+
+
+def _time_bwd_body(scale, hd, hpb):
+    return (_mk_time_bwd_bsd_v2 if _time_kernel_variant() == "v2"
+            else _mk_time_bwd_bsd)(scale, hd, hpb)
+
+
 def _mk_time_fwd_bsd(scale, hd, hpb):
     # fi-BATCHED formulation: all f destination rows of one head are
     # processed as a single [f*nb, hd] tile, with k/v tiled per source
@@ -611,6 +621,135 @@ def _mk_time_fwd_bsd(scale, hd, hpb):
                 out = out + p[:, g + 1:g + 2] * \
                     jnp.concatenate([vg] * f, axis=0)
             o_ref[0, :, :, c] = out.reshape(f, nb, hd).astype(o_ref.dtype)
+
+    return kernel
+
+
+def _time_kernel_variant() -> str:
+    """'v2' (default) = MXU-segmented bodies; 'v1' = the r2/r3 fi-batched
+    VPU bodies (EGOVLP_TIME_KERNEL overrides; consulted at trace time)."""
+    import os
+
+    return os.environ.get("EGOVLP_TIME_KERNEL", "v2")
+
+
+def _seg_mats(f, lb, hd, hpb):
+    """Head-segment matrices for the v2 bodies.
+
+    ``seg [lb, hpb]``: lane l belongs to head l // hd.  Right-multiplying
+    an elementwise q*k product tile by ``seg`` performs the per-head
+    d-contraction ON THE MXU — replacing the v1 bodies' per-head LANE
+    reductions (log2(hd) shuffle passes on half-empty 64-lane tiles),
+    which dominated their runtime.  ``seg.T`` broadcasts per-head scalars
+    back across that head's lanes; ``sel [(f+1)*hpb, hpb]`` sums the
+    (g-major, head-minor) logit columns per head.
+    """
+    li = jax.lax.broadcasted_iota(jnp.int32, (lb, hpb), 0) // hd
+    hi = jax.lax.broadcasted_iota(jnp.int32, (lb, hpb), 1)
+    seg = (li == hi).astype(jnp.float32)
+    ci = jax.lax.broadcasted_iota(jnp.int32, ((f + 1) * hpb, hpb), 0) % hpb
+    hj = jax.lax.broadcasted_iota(jnp.int32, ((f + 1) * hpb, hpb), 1)
+    sel = (ci == hj).astype(jnp.float32)
+    return seg, sel
+
+
+def _mk_time_fwd_bsd_v2(scale, hd, hpb):
+    # MXU-segmented formulation: the whole 128-lane block (hpb heads) is
+    # processed at once; per-head q.k contractions are one skinny matmul
+    # against the block-diagonal `seg` (see _seg_mats) instead of v1's
+    # per-head lane reductions; softmax uses ONE shared row max (>= every
+    # per-head max, so equally stable) and defers the normalisation to a
+    # single divide after the value accumulation.  Measured on v5e
+    # (scripts/time_kernel_ab.py): see docs/ROUND4.md.
+    def kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref):
+        f, nb, lb = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+        seg, sel = _seg_mats(f, lb, hd, hpb)
+        qa = q_ref[0].astype(jnp.float32) * scale          # [f, nb, lb]
+        ck = ck_ref[0].astype(jnp.float32)                 # [1, lb]
+
+        def seg_sum(prod3):  # [f, nb, lb] -> per-head sums [f*nb, hpb]
+            return jnp.dot(prod3.reshape(f * nb, lb), seg,
+                           preferred_element_type=jnp.float32)
+
+        def lanes(cols2):    # [f*nb, hpb] -> per-head lane broadcast
+            return jnp.dot(cols2, seg.T,
+                           preferred_element_type=jnp.float32)
+
+        cols = [seg_sum(qa * ck[None])]                    # CLS column first
+        for g in range(f):
+            cols.append(seg_sum(qa * k_ref[0, g][None].astype(jnp.float32)))
+        e = jnp.concatenate(cols, axis=1)                  # [f*nb, (f+1)*hpb]
+        e = jnp.exp(e - jnp.max(e, axis=1, keepdims=True))
+        s_lanes = lanes(jnp.dot(e, sel,
+                                preferred_element_type=jnp.float32))
+        acc = lanes(e[:, :hpb]).reshape(f, nb, lb) \
+            * cv_ref[0][None].astype(jnp.float32)
+        for g in range(f):
+            acc = acc + lanes(e[:, (g + 1) * hpb:(g + 2) * hpb]) \
+                .reshape(f, nb, lb) * v_ref[0, g][None].astype(jnp.float32)
+        o_ref[0] = (acc / s_lanes.reshape(f, nb, lb)).astype(o_ref.dtype)
+
+    return kernel
+
+
+def _mk_time_bwd_bsd_v2(scale, hd, hpb):
+    # backward of the MXU-segmented formulation; same segment-matmul
+    # tricks for dp/inner/dl, and the dk/dv cross-frame sums are cheap
+    # axis-0 reductions on the [f, nb, lb] grid.  At f <= 4 the per-(fi,g)
+    # small-f body stays faster (same-session v5e A/B: 1.10 vs 1.36 ms
+    # per block at the 4f flagship shape — the segment matmuls don't
+    # amortise on 5-column logit tiles), so it is kept for the backward
+    # only; the v2 FORWARD wins at every measured f.
+    def kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, do_ref,
+               dq_ref, dk_ref, dv_ref, dck_ref, dcv_ref):
+        f, nb, lb = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+        if f <= 4:
+            _time_bwd_small_f(scale, hd, hpb, q_ref, k_ref, v_ref, ck_ref,
+                              cv_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                              dck_ref, dcv_ref)
+            return
+        seg, sel = _seg_mats(f, lb, hd, hpb)
+        qa = q_ref[0].astype(jnp.float32) * scale
+        do = do_ref[0].astype(jnp.float32)
+        ck = ck_ref[0].astype(jnp.float32)
+        cv = cv_ref[0].astype(jnp.float32)
+
+        def seg_sum(prod3):
+            return jnp.dot(prod3.reshape(f * nb, lb), seg,
+                           preferred_element_type=jnp.float32)
+
+        def lanes(cols2):
+            return jnp.dot(cols2, seg.T,
+                           preferred_element_type=jnp.float32)
+
+        cols = [seg_sum(qa * ck[None])]
+        dcols = [seg_sum(do * cv[None])]
+        for g in range(f):
+            cols.append(seg_sum(qa * k_ref[0, g][None].astype(jnp.float32)))
+            dcols.append(seg_sum(do * v_ref[0, g][None].astype(jnp.float32)))
+        lg = jnp.concatenate(cols, axis=1)                 # [f*nb, (f+1)*hpb]
+        e = jnp.exp(lg - jnp.max(lg, axis=1, keepdims=True))
+        s = jnp.dot(e, sel, preferred_element_type=jnp.float32)
+        p = e / jnp.dot(s, sel.T, preferred_element_type=jnp.float32)
+        dp = jnp.concatenate(dcols, axis=1)
+        inner = jnp.dot(dp * p, sel, preferred_element_type=jnp.float32)
+        dl = p * (dp - jnp.dot(inner, sel.T,
+                               preferred_element_type=jnp.float32))
+
+        dcl = lanes(dl[:, :hpb]).reshape(f, nb, lb)
+        pcl = lanes(p[:, :hpb]).reshape(f, nb, lb)
+        dq = dcl * ck[None]
+        for g in range(f):
+            dlg = lanes(dl[:, (g + 1) * hpb:(g + 2) * hpb]).reshape(f, nb, lb)
+            pg = lanes(p[:, (g + 1) * hpb:(g + 2) * hpb]).reshape(f, nb, lb)
+            dq = dq + dlg * k_ref[0, g][None].astype(jnp.float32)
+            dk_ref[0, g] = jnp.sum(dlg * qa, axis=0).astype(dk_ref.dtype)
+            dv_ref[0, g] = jnp.sum(pg * do, axis=0).astype(dv_ref.dtype)
+        dck_ref[0, 0] = jnp.sum(dcl * qa, axis=(0, 1))[None, :].astype(
+            dck_ref.dtype)
+        dcv_ref[0, 0] = jnp.sum(pcl * do, axis=(0, 1))[None, :].astype(
+            dcv_ref.dtype)
+        dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 
     return kernel
 
@@ -838,14 +977,14 @@ def _time_kernel_compiles(f: int, nb: int, lb: int, hd: int,
 
     def fwd(q_, k_, v_, ck_, cv_):
         return pl.pallas_call(
-            _mk_time_fwd_bsd(scale, hd, hpb), grid=grid,
+            _time_fwd_body(scale, hd, hpb), grid=grid,
             in_specs=[blk, blk, blk, cls, cls], out_specs=blk,
             out_shape=jax.ShapeDtypeStruct(q.shape, dtype),
         )(q_, k_, v_, ck_, cv_)
 
     def bwd(q_, k_, v_, ck_, cv_, do_):
         return pl.pallas_call(
-            _mk_time_bwd_bsd(scale, hd, hpb), grid=grid,
+            _time_bwd_body(scale, hd, hpb), grid=grid,
             in_specs=[blk, blk, blk, cls, cls, blk],
             out_specs=(blk, blk, blk, cls_out, cls_out),
             out_shape=(
@@ -895,7 +1034,7 @@ def time_n_block(f: int, n: int, lb: int, itemsize: int = 2,
     # (kv2's single-step-grid probes admitted nb values that OOM'd scoped
     # VMEM in production) and the result is pad-balanced — versioning
     # invalidates stale cached sizes
-    disk_key = f"{_device_kind()}|jax{jax.__version__}|kv4|f{f}|n{n}|lb{lb}"
+    disk_key = (f"{_device_kind()}|jax{jax.__version__}|kv5{_time_kernel_variant()}|f{f}|n{n}|lb{lb}")
     cached = _nb_disk_get(disk_key)
     if cached is not None:
         _NB_CACHE[key] = int(cached)
@@ -968,7 +1107,7 @@ def _time_fwd_bsd_call(q, k, v, cls_k, cls_v, *, hd, scale):
     q, k, v = (_pad_n(t, n_pad, n) for t in (q, k, v))
     blk, cls = _time_bsd_specs(f, nb, lb)
     out = pl.pallas_call(
-        _mk_time_fwd_bsd(scale, hd, lb // hd),
+        _time_fwd_body(scale, hd, lb // hd),
         grid=(B, D // lb, n_pad // nb),
         in_specs=[blk, blk, blk, cls, cls],
         out_specs=blk,
@@ -998,7 +1137,7 @@ def _time_bwd_bsd_call(q, k, v, cls_k, cls_v, do, *, hd, scale):
         jax.ShapeDtypeStruct((B, n_pad // nb, 1, D), q.dtype),
     )
     dq, dk, dv, dck_j, dcv_j = pl.pallas_call(
-        _mk_time_bwd_bsd(scale, hd, lb // hd),
+        _time_bwd_body(scale, hd, lb // hd),
         grid=(B, D // lb, n_pad // nb),
         in_specs=[blk, blk, blk, cls, cls, blk],
         out_specs=(blk, blk, blk, cls_out, cls_out),

@@ -43,25 +43,32 @@ def resolve_attention_impls(cfg_impl: str, frames: int,
     """Map an ``attention_impl`` config value to per-axis kernel choices.
 
     Returns ``(space_impl, time_impl)`` for the divided attention.  The
-    ``'auto'`` policy is frame-aware on TPU: the fused Pallas time kernel
-    wins decisively at small frame counts (4f full step: 336 vs 433 ms),
-    but at f>=16 its fi-batched VPU body loses to XLA's batched matmuls
-    (interleaved A/B, scripts/attn16_ab.py: tower fwd+bwd 900.9 ms XLA-time
-    vs 920.0 ms fused, XLA winning 6/6 rounds).  The space kernel wins at
-    every measured shape.  ``'mixed'`` forces space fused + time XLA —
-    both the f>=16 fast path and an escape hatch for toolchains where the
-    time kernel misbehaves; ``'xla'`` / ``'pallas'`` force one
-    implementation for both axes.
+    ``'auto'`` policy on TPU is both kernels fused at every frame count:
+    since the MXU-segmented time bodies landed (r4,
+    pallas_attention._mk_time_fwd_bsd_v2 — 2.4x the old fi-batched bodies
+    at 16f) the fused time kernel wins the full-tower A/B at 16 frames too
+    (interleaved, scripts/attn16_ab.py: fwd+bwd 586.8 ms vs 590.5 XLA-time,
+    fused winning 6/6 rounds; at 4f it wins ~29% at the full-step level).
+    The space kernel wins at every measured shape.  ``'mixed'`` forces
+    space fused + time XLA (the r3 f>=16 production path, kept as a
+    measured escape hatch for toolchains where the time kernel
+    misbehaves); ``'mixed2'`` its canonical-relayout variant;
+    ``'xla'`` / ``'pallas'`` force one implementation for both axes.
     """
     if backend is None:
         backend = jax.default_backend()
     on_tpu = backend == "tpu"
+    del frames  # kept in the signature for config forward-compat
     if cfg_impl == "auto":
-        space = "pallas" if on_tpu else "xla"
-        time = "pallas" if on_tpu and frames < 16 else "xla"
-        return space, time
+        impl = "pallas" if on_tpu else "xla"
+        return impl, impl
     if cfg_impl == "mixed":
         return ("pallas" if on_tpu else "xla"), "xla"
+    if cfg_impl == "mixed2":
+        # space fused + the canonical-relayout XLA time path
+        # (kernels/divided_attention._time_xla_parts_v2) — A/B arm for the
+        # 16f layout-copy attack, scripts/attn16_ab.py
+        return ("pallas" if on_tpu else "xla"), "xla2"
     return cfg_impl, cfg_impl
 
 

@@ -178,19 +178,21 @@ def test_remat_variants_match(rng):
 
 
 def test_resolve_attention_impls_policy():
-    """'auto' is frame-aware on TPU: fused time kernel below 16 frames,
-    XLA time attention at 16+ (interleaved A/B, scripts/attn16_ab.py);
-    space stays fused at every frame count.  CPU always resolves to XLA."""
+    """'auto' on TPU = both kernels fused at EVERY frame count (since the
+    r4 MXU-segmented time bodies the fused kernel wins the full-tower A/B
+    at 16f too, scripts/attn16_ab.py); 'mixed' keeps the r3 space-fused +
+    time-XLA path as an escape hatch.  CPU always resolves to XLA."""
     from egovlp_tpu.models.video_tower import resolve_attention_impls
 
     assert resolve_attention_impls("auto", 4, "tpu") == ("pallas", "pallas")
     assert resolve_attention_impls("auto", 8, "tpu") == ("pallas", "pallas")
-    assert resolve_attention_impls("auto", 16, "tpu") == ("pallas", "xla")
-    assert resolve_attention_impls("auto", 32, "tpu") == ("pallas", "xla")
+    assert resolve_attention_impls("auto", 16, "tpu") == ("pallas", "pallas")
+    assert resolve_attention_impls("auto", 32, "tpu") == ("pallas", "pallas")
     assert resolve_attention_impls("auto", 4, "cpu") == ("xla", "xla")
     assert resolve_attention_impls("auto", 16, "cpu") == ("xla", "xla")
     assert resolve_attention_impls("mixed", 4, "tpu") == ("pallas", "xla")
     assert resolve_attention_impls("mixed", 4, "cpu") == ("xla", "xla")
+    assert resolve_attention_impls("mixed2", 4, "tpu") == ("pallas", "xla2")
     for forced in ("xla", "pallas"):
         assert resolve_attention_impls(forced, 16, "tpu") == (forced, forced)
     # default backend arg resolves (cpu in the test env)

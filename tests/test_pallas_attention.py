@@ -424,3 +424,45 @@ def test_bsd_kernels_shape_sweep(rng, B, H, f, n, hd):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=3e-4, atol=3e-5,
                                        err_msg=f"{axis} d{nm}")
+
+
+@pytest.mark.parametrize("variant", ["v1", "v2"])
+@pytest.mark.parametrize("f", [4, 16])
+def test_time_kernel_variants_match(rng, monkeypatch, variant, f):
+    """Both time-kernel bodies — v1 (fi-batched VPU lane reductions) and
+    v2 (MXU-segmented, the default; see _mk_time_fwd_bsd_v2) — produce the
+    same forward values and input gradients.  The variant is consulted at
+    trace time (EGOVLP_TIME_KERNEL)."""
+    import egovlp_tpu.kernels.pallas_attention as pa
+
+    monkeypatch.setenv("EGOVLP_TIME_KERNEL", variant)
+    B, H, D, n = 2, 4, 256, 20
+    hd = D // H
+    scale = hd ** -0.5
+    q, k, v, do = (jnp.asarray(rng.normal(size=(B, f, n, D)),
+                               jnp.float32) for _ in range(4))
+    ck, cv = (jnp.asarray(rng.normal(size=(B, 1, D)), jnp.float32)
+              for _ in range(2))
+
+    out = pa._time_fwd_bsd_call(q, k, v, ck, cv, hd=hd, scale=scale)
+    grads = pa._time_bwd_bsd_call(q, k, v, ck, cv, do, hd=hd, scale=scale)
+
+    # XLA oracle via the pair-layout time path
+    from egovlp_tpu.kernels.divided_attention import _time_xla_parts
+
+    qc = jnp.zeros((B, 1, D), jnp.float32)
+    # patch-token rows only: feed a zero CLS query (its row is ignored)
+    _, want = _time_xla_parts(qc, ck, cv, q, k, v, heads=H,
+                              frames=f, patches=n)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
+
+    def loss(q, k, v, ck, cv):
+        _, op = _time_xla_parts(qc, ck, cv, q, k, v, heads=H,
+                                frames=f, patches=n)
+        return jnp.sum(op * do)
+
+    want_g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(q, k, v, ck, cv)
+    for a, b, nm in zip(grads, want_g, ["dq", "dk", "dv", "dck", "dcv"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b).reshape(
+            np.asarray(a).shape), rtol=3e-4, atol=3e-5, err_msg=nm)
