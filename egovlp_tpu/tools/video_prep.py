@@ -40,15 +40,26 @@ def _video_meta(path: str):
     return fps, n, w, h
 
 
-def resize_video(src: str, dst: str, short_side: int = 256) -> None:
-    """Short side -> short_side, even dimensions (reference video_resize)."""
+def resize_video(src: str, dst: str, short_side: int = 256,
+                 gop: "int | None" = None) -> None:
+    """Short side -> short_side, even dimensions (reference video_resize).
+
+    ``gop`` caps the encoder keyframe interval.  The reference leaves the
+    x264 default (keyint 250 ~ 8.3 s at 30 fps), which makes every random
+    training read roll an average of ~4 s of decode from the previous
+    keyframe; the TPU input pipeline is host-CPU-bound exactly there
+    (scripts/decode_profile.py).  ``--gop 30`` (1 s) cuts the roll ~8x for
+    a few percent of bitrate on egocentric footage — recommended when
+    preparing chunks for training rather than archival."""
     if os.path.exists(dst):
         return
     os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
     if _has_ffmpeg():
         scale = (f"scale=\"trunc(oh*a/2)*2:{short_side}\""
                  )  # height=short side, width from aspect (reference form)
-        cmd = f"ffmpeg -y -loglevel error -i {src} -filter:v {scale} -c:a copy {dst}"
+        g = f"-g {int(gop)} " if gop else ""
+        cmd = (f"ffmpeg -y -loglevel error -i {src} -filter:v {scale} "
+               f"{g}-c:a copy {dst}")
         subprocess.call(cmd, shell=True)
         return
     # cv2 fallback (video only)
@@ -120,14 +131,18 @@ def main(argv=None):
     ap.add_argument("--src", required=True)
     ap.add_argument("--dst", required=True)
     ap.add_argument("--short_side", type=int, default=256)
+    ap.add_argument("--gop", type=int, default=None,
+                    help="keyframe interval for the resize re-encode "
+                         "(default: encoder default, like the reference; "
+                         "30 recommended for training-read chunks)")
     ap.add_argument("--chunk_sec", type=int, default=CHUNK_SEC)
     ap.add_argument("-j", "--jobs", type=int, default=8)
     args = ap.parse_args(argv)
 
     videos = sorted(Path(args.src).glob("*.mp4"))
     if args.mode == "resize":
-        jobs = [(str(v), os.path.join(args.dst, v.name), args.short_side)
-                for v in videos]
+        jobs = [(str(v), os.path.join(args.dst, v.name), args.short_side,
+                 args.gop) for v in videos]
         _run_pool(resize_video, jobs, args.jobs)
     else:
         jobs = [(str(v), os.path.join(args.dst, v.stem), args.chunk_sec)

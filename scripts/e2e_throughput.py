@@ -15,8 +15,9 @@ import numpy as np
 
 
 def make_corpus(root, n_videos=12):
-    import cv2
     import pandas as pd
+
+    from egovlp_tpu.data import native
 
     rows = []
     rng = np.random.default_rng(0)
@@ -24,12 +25,22 @@ def make_corpus(root, n_videos=12):
         vdir = os.path.join(root, f"vid_{vi}")
         os.makedirs(vdir, exist_ok=True)
         path = os.path.join(vdir, "0.mp4")
-        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30,
-                             (342, 256))
         base = rng.integers(0, 255, (256, 342, 3)).astype(np.uint8)
-        for i in range(240):  # 8 s
-            vw.write(np.roll(base, i * 2, axis=1))
-        vw.release()
+        frames = np.stack([np.roll(base, i * 2, axis=1)
+                           for i in range(240)])  # 8 s
+        # real EgoClip 600 s chunks are inter-coded H.264 with B-frames;
+        # encode the synthetic corpus reordered (gop 30, 2 B-frames) so the
+        # decode benchmark exercises seek+roll+skip the way production
+        # does — cv2's mp4v writer can't emit B-frames at all
+        if not native.encode_video(path, frames, fps=30, gop=30,
+                                   max_b_frames=2):
+            import cv2
+
+            vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30,
+                                 (342, 256))
+            for fr in frames:
+                vw.write(fr)
+            vw.release()
         for ci in range(10):
             rows.append({
                 "video_uid": f"vid_{vi}",
