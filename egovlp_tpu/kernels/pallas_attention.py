@@ -581,13 +581,19 @@ def make_space_attention_bsd(heads: int, scale: float):
 
 
 def _time_fwd_body(scale, hd, hpb):
-    return (_mk_time_fwd_bsd_v2 if _time_kernel_variant() == "v2"
-            else _mk_time_fwd_bsd)(scale, hd, hpb)
+    mk = {"v1": _mk_time_fwd_bsd, "v2": _mk_time_fwd_bsd_v2,
+          "v3": _mk_time_fwd_bsd_v3, "v3b": _mk_time_fwd_bsd_v3,
+          }[_time_kernel_variant()]
+    return mk(scale, hd, hpb)
 
 
 def _time_bwd_body(scale, hd, hpb):
-    return (_mk_time_bwd_bsd_v2 if _time_kernel_variant() == "v2"
-            else _mk_time_bwd_bsd)(scale, hd, hpb)
+    var = _time_kernel_variant()
+    if var == "v3b":
+        return _mk_time_bwd_bsd_v3(scale, hd, hpb, force_batched=True)
+    mk = {"v1": _mk_time_bwd_bsd, "v2": _mk_time_bwd_bsd_v2,
+          "v3": _mk_time_bwd_bsd_v3}[var]
+    return mk(scale, hd, hpb)
 
 
 def _mk_time_fwd_bsd(scale, hd, hpb):
@@ -659,10 +665,18 @@ def _mk_time_fwd_bsd_v2(scale, hd, hpb):
     # against the block-diagonal `seg` (see _seg_mats) instead of v1's
     # per-head lane reductions; softmax uses ONE shared row max (>= every
     # per-head max, so equally stable) and defers the normalisation to a
-    # single divide after the value accumulation.  Measured on v5e
-    # (scripts/time_kernel_ab.py): see docs/ROUND4.md.
+    # single divide after the value accumulation.  At f <= 8 the forward
+    # further batches all per-frame matmuls into one MXU pass (the v3
+    # body) — same-session A/B: 4f fwd 0.795 vs 0.931 ms/block; at f=16
+    # the v3 stacks thrash VMEM (fwd+bwd 10.2 vs 8.1) so the per-g loop
+    # stays.  Measured on v5e (scripts/time_kernel_ab.py), docs/ROUND4.md.
+    v3 = _mk_time_fwd_bsd_v3(scale, hd, hpb)
+
     def kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref):
         f, nb, lb = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+        if f <= 8:
+            v3(q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref)
+            return
         seg, sel = _seg_mats(f, lb, hd, hpb)
         qa = q_ref[0].astype(jnp.float32) * scale          # [f, nb, lb]
         ck = ck_ref[0].astype(jnp.float32)                 # [1, lb]
@@ -695,18 +709,19 @@ def _mk_time_fwd_bsd_v2(scale, hd, hpb):
 def _mk_time_bwd_bsd_v2(scale, hd, hpb):
     # backward of the MXU-segmented formulation; same segment-matmul
     # tricks for dp/inner/dl, and the dk/dv cross-frame sums are cheap
-    # axis-0 reductions on the [f, nb, lb] grid.  At f <= 4 the per-(fi,g)
-    # small-f body stays faster (same-session v5e A/B: 1.10 vs 1.36 ms
-    # per block at the 4f flagship shape — the segment matmuls don't
-    # amortise on 5-column logit tiles), so it is kept for the backward
-    # only; the v2 FORWARD wins at every measured f.
+    # axis-0 reductions on the [f, nb, lb] grid.  At f <= 8 the batched
+    # v3 body wins (same-session v5e A/B at the 4f flagship shape:
+    # 1.46 ms/block vs 2.6 for the per-(fi,g) small-f body and ~2.6 for
+    # this per-g body); at f = 16 its [f+1, f, nb, lb] stacks thrash
+    # VMEM (10.1 vs 8.1 ms fwd+bwd), so this per-g loop stays.
+    v3 = _mk_time_bwd_bsd_v3(scale, hd, hpb, force_batched=True)
+
     def kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, do_ref,
                dq_ref, dk_ref, dv_ref, dck_ref, dcv_ref):
         f, nb, lb = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
-        if f <= 4:
-            _time_bwd_small_f(scale, hd, hpb, q_ref, k_ref, v_ref, ck_ref,
-                              cv_ref, do_ref, dq_ref, dk_ref, dv_ref,
-                              dck_ref, dcv_ref)
+        if f <= 8:
+            v3(q_ref, k_ref, v_ref, ck_ref, cv_ref, do_ref,
+               dq_ref, dk_ref, dv_ref, dck_ref, dcv_ref)
             return
         seg, sel = _seg_mats(f, lb, hd, hpb)
         qa = q_ref[0].astype(jnp.float32) * scale
@@ -748,6 +763,98 @@ def _mk_time_bwd_bsd_v2(scale, hd, hpb):
         dck_ref[0, 0] = jnp.sum(dcl * qa, axis=(0, 1))[None, :].astype(
             dck_ref.dtype)
         dcv_ref[0, 0] = jnp.sum(pcl * do, axis=(0, 1))[None, :].astype(
+            dcv_ref.dtype)
+        dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+    return kernel
+
+
+def _mk_time_fwd_bsd_v3(scale, hd, hpb):
+    # v2 with the per-frame skinny matmuls BATCHED: all f+1 q*k product
+    # tiles are stacked and contracted against `seg` in ONE MXU pass, and
+    # all softmax lane-broadcasts come back in ONE pass against `seg.T` —
+    # v2's 2f+4 small matmuls each pay MXU pipeline fill, which dominates
+    # at these tile sizes.  Softmax statistics reduce over axis 0 of the
+    # [f+1, f*nb, hpb] logit stack (cheap strided vreg ops; per-head max).
+    def kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref):
+        f, nb, lb = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+        seg, _ = _seg_mats(f, lb, hd, hpb)
+        qa = q_ref[0].astype(jnp.float32) * scale          # [f, nb, lb]
+        ck = ck_ref[0].astype(jnp.float32)                 # [1, lb]
+        prods = jnp.stack(
+            [qa * ck[None]]
+            + [qa * k_ref[0, g][None].astype(jnp.float32) for g in range(f)],
+            axis=0)                                        # [f+1, f, nb, lb]
+        lg = jnp.dot(prods.reshape((f + 1) * f * nb, lb), seg,
+                     preferred_element_type=jnp.float32
+                     ).reshape(f + 1, f * nb, hpb)
+        e = jnp.exp(lg - jnp.max(lg, axis=0, keepdims=True))
+        s = jnp.sum(e, axis=0)                             # [f*nb, hpb]
+        wl = jnp.dot(e.reshape((f + 1) * f * nb, hpb), seg.T,
+                     preferred_element_type=jnp.float32
+                     ).reshape(f + 1, f, nb, lb)
+        sl = jnp.dot(s, seg.T, preferred_element_type=jnp.float32
+                     ).reshape(f, nb, lb)
+        acc = wl[0] * cv_ref[0][None].astype(jnp.float32)
+        for g in range(f):
+            acc = acc + wl[g + 1] * v_ref[0, g][None].astype(jnp.float32)
+        o_ref[0] = (acc / sl).astype(o_ref.dtype)
+
+    return kernel
+
+
+def _mk_time_bwd_bsd_v3(scale, hd, hpb, force_batched=False):
+    # batched-matmul backward (see _mk_time_fwd_bsd_v3); keeps the
+    # per-(fi,g) small-f body at f <= 4 like v2 (``force_batched`` is the
+    # 'v3b' A/B knob that runs the batched body at small f too)
+    def kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, do_ref,
+               dq_ref, dk_ref, dv_ref, dck_ref, dcv_ref):
+        f, nb, lb = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+        if f <= 4 and not force_batched:
+            _time_bwd_small_f(scale, hd, hpb, q_ref, k_ref, v_ref, ck_ref,
+                              cv_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                              dck_ref, dcv_ref)
+            return
+        seg, _ = _seg_mats(f, lb, hd, hpb)
+        qa = q_ref[0].astype(jnp.float32) * scale
+        do = do_ref[0].astype(jnp.float32)
+        ck = ck_ref[0].astype(jnp.float32)
+        cv = cv_ref[0].astype(jnp.float32)
+
+        M = (f + 1) * f * nb
+        prods = jnp.stack(
+            [qa * ck[None]]
+            + [qa * k_ref[0, g][None].astype(jnp.float32) for g in range(f)],
+            axis=0)
+        lg = jnp.dot(prods.reshape(M, lb), seg,
+                     preferred_element_type=jnp.float32
+                     ).reshape(f + 1, f * nb, hpb)
+        dprods = jnp.stack(
+            [do * cv[None]]
+            + [do * v_ref[0, g][None].astype(jnp.float32) for g in range(f)],
+            axis=0)
+        dp = jnp.dot(dprods.reshape(M, lb), seg,
+                     preferred_element_type=jnp.float32
+                     ).reshape(f + 1, f * nb, hpb)
+        e = jnp.exp(lg - jnp.max(lg, axis=0, keepdims=True))
+        p = e / jnp.sum(e, axis=0, keepdims=True)
+        dl = p * (dp - jnp.sum(dp * p, axis=0, keepdims=True))
+        dll = jnp.dot(dl.reshape(M, hpb), seg.T,
+                      preferred_element_type=jnp.float32
+                      ).reshape(f + 1, f, nb, lb)
+        pl = jnp.dot(p.reshape(M, hpb), seg.T,
+                     preferred_element_type=jnp.float32
+                     ).reshape(f + 1, f, nb, lb)
+        dq = dll[0] * ck[None]
+        for g in range(f):
+            dq = dq + dll[g + 1] * k_ref[0, g][None].astype(jnp.float32)
+            dk_ref[0, g] = jnp.sum(dll[g + 1] * qa, axis=0).astype(
+                dk_ref.dtype)
+            dv_ref[0, g] = jnp.sum(pl[g + 1] * do, axis=0).astype(
+                dv_ref.dtype)
+        dck_ref[0, 0] = jnp.sum(dll[0] * qa, axis=(0, 1))[None, :].astype(
+            dck_ref.dtype)
+        dcv_ref[0, 0] = jnp.sum(pl[0] * do, axis=(0, 1))[None, :].astype(
             dcv_ref.dtype)
         dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 

@@ -426,13 +426,13 @@ def test_bsd_kernels_shape_sweep(rng, B, H, f, n, hd):
                                        err_msg=f"{axis} d{nm}")
 
 
-@pytest.mark.parametrize("variant", ["v1", "v2"])
+@pytest.mark.parametrize("variant", ["v1", "v2", "v3"])
 @pytest.mark.parametrize("f", [4, 16])
 def test_time_kernel_variants_match(rng, monkeypatch, variant, f):
-    """Both time-kernel bodies — v1 (fi-batched VPU lane reductions) and
-    v2 (MXU-segmented, the default; see _mk_time_fwd_bsd_v2) — produce the
-    same forward values and input gradients.  The variant is consulted at
-    trace time (EGOVLP_TIME_KERNEL)."""
+    """All time-kernel bodies — v1 (fi-batched VPU lane reductions),
+    v2 (MXU-segmented) and v3 (v2 with the per-frame matmuls batched into
+    one MXU pass) — produce the same forward values and input gradients.
+    The variant is consulted at trace time (EGOVLP_TIME_KERNEL)."""
     import egovlp_tpu.kernels.pallas_attention as pa
 
     monkeypatch.setenv("EGOVLP_TIME_KERNEL", variant)
