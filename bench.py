@@ -336,7 +336,12 @@ def main():
                                  (Bf, L)).astype(np.int32),
         "text_mask": np.ones((Bf, L), np.int32),
     }, mesh)
-    for remat16 in ("attn_out", "attn", "block"):
+    # production ft config order (configs/ft/*.json): no remat + bf16 first
+    # moment — with the r4 time kernels this beats 'attn_out' 28.1 vs 27.3
+    # clips/s (scripts/remat_ab.py) and compiles faster; the fallbacks fit
+    # with f32 moments if a smaller-HBM device rejects the first
+    for remat16, mu16 in ((False, "bfloat16"), ("attn_out", None),
+                          ("attn", None), ("block", None)):
         state16 = params16 = step16 = model16 = None
         try:
             cfg16 = DualEncoderConfig(
@@ -348,7 +353,8 @@ def main():
             )["params"]
             state16 = jax.device_put(
                 create_train_state(model16, params16,
-                                   make_optimizer(3e-5, (60, 80), 1000)),
+                                   make_optimizer(3e-5, (60, 80), 1000,
+                                                  mu_dtype=mu16)),
                 replicated(mesh))
             step16 = make_epic_train_step(loss_type="MaxMarginRankingLoss",
                                           input_res=R, donate=True)
@@ -362,7 +368,8 @@ def main():
             rate16 = Bf * it16 / (time.perf_counter() - t0) / jax.device_count()
             ft16.pop("ft16_error", None)  # keep any *_failed marker
             ft16.update({"ft16_clips_per_sec": round(rate16, 3),
-                         "ft16_remat": remat16})
+                         "ft16_remat": remat16 or "none",
+                         "ft16_mu_dtype": mu16 or "float32"})
             # 16f step FLOPs + MFU line (VERDICT r2 item 4)
             try:
                 jitted16 = getattr(step16, "jitted", step16)
@@ -381,8 +388,10 @@ def main():
         except Exception as e:
             # per-variant error text: the fallback's failure can have a
             # different root cause than the first attempt's
-            ft16[f"ft16_{remat16}_error"] = f"{type(e).__name__}: {e}"[:160]
-            ft16.setdefault("ft16_error", ft16[f"ft16_{remat16}_error"])
+            ft16[f"ft16_{remat16 or 'none'}_error"] = (
+                f"{type(e).__name__}: {e}"[:160])
+            ft16.setdefault("ft16_error",
+                            ft16[f"ft16_{remat16 or 'none'}_error"])
         finally:
             # free EVERYTHING from a failed attempt, including the
             # compiled step executable, before the fallback allocates
