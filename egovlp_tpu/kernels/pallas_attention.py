@@ -332,6 +332,13 @@ time_attention.defvjp(_ta_fwd, _ta_bwd)
 
 LANE = 128
 
+# exp2-base softmax: fold log2(e) into the q scaling so the VPU runs its
+# native power-of-two exponent instead of exp (which lowers to exp2 plus a
+# full-tile multiply).  softmax is invariant under the base change; ln(2)
+# un-does the fold where the raw logit scale is needed (dk).
+_LOG2E = 1.4426950408889634
+_LN2 = 0.6931471805599453
+
 
 def _lane_block(D: int, hd: int) -> int:
     """Lane-block width: 128 when D is a multiple of it (Mosaic's minor-dim
@@ -398,6 +405,111 @@ def _mk_space_bwd_bsd(scale, hd, hpb):
             dq_ref[0, 0, :, c] = (dq * scale).astype(dq_ref.dtype)
             dkc = jnp.dot(dl.T, qs, preferred_element_type=jnp.float32)
             dvc = jnp.dot(pr.T.astype(do.dtype), do,
+                          preferred_element_type=jnp.float32)
+            dck_ref[0, 0, :, c] = dkc[:1].astype(dck_ref.dtype)
+            dk_ref[0, 0, :, c] = dkc[1:].astype(dk_ref.dtype)
+            dcv_ref[0, 0, :, c] = dvc[:1].astype(dcv_ref.dtype)
+            dv_ref[0, 0, :, c] = dvc[1:].astype(dv_ref.dtype)
+
+    return kernel
+
+
+def _space_kernel_variant() -> str:
+    """'v2' (default) = exp2 softmax, deferred normalisation, input-dtype
+    backward matmuls; 'v1' = the r2/r3 divide-then-matmul bodies with f32
+    dp/dv matmuls (EGOVLP_SPACE_KERNEL overrides; consulted at trace
+    time)."""
+    import os
+
+    return os.environ.get("EGOVLP_SPACE_KERNEL", "v2")
+
+
+def _space_fwd_body(scale, hd, hpb):
+    var = _space_kernel_variant()
+    mk = {"v1": _mk_space_fwd_bsd, "v2": _mk_space_fwd_bsd_v2,
+          "v2x": _mk_space_fwd_bsd_v2}[var]
+    return mk(scale, hd, hpb)
+
+
+def _space_bwd_body(scale, hd, hpb):
+    var = _space_kernel_variant()
+    if var == "v2x":
+        return _mk_space_bwd_bsd_v2(scale, hd, hpb, f32_mm=True)
+    mk = {"v1": _mk_space_bwd_bsd, "v2": _mk_space_bwd_bsd_v2}[var]
+    return mk(scale, hd, hpb)
+
+
+def _mk_space_fwd_bsd_v2(scale, hd, hpb):
+    # v1 with the softmax VPU tail trimmed (the matmuls are structurally
+    # K=hd and already minimal):
+    #   * exp2-base softmax — log2(e) folded into the q scaling (see
+    #     _LOG2E above), saving a [L, L+1] multiply inside every exp;
+    #   * deferred normalisation (the time-v2 trick): the value matmul
+    #     consumes the UNNORMALIZED exp and one [L, hd] multiply by the
+    #     reciprocal row sum replaces the [L, L+1] probability divide.
+    # Measured on v5e (scripts/space_kernel_ab.py, scan-amortized):
+    # see docs/ROUND4.md.
+    def kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref):
+        for hp in range(hpb):
+            c = slice(hp * hd, (hp + 1) * hd)
+            q = q_ref[0, 0, :, c]
+            kc = jnp.concatenate([ck_ref[0, :, c], k_ref[0, 0, :, c]],
+                                 axis=0)          # [L+1, hd], CLS row 0
+            vc = jnp.concatenate([cv_ref[0, :, c], v_ref[0, 0, :, c]],
+                                 axis=0)
+            qs = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(kc.dtype)
+            logits = jnp.dot(qs, kc.T, preferred_element_type=jnp.float32)
+            m = jnp.max(logits, axis=1, keepdims=True)
+            e = jnp.exp2(logits - m)
+            rs = 1.0 / jnp.sum(e, axis=1, keepdims=True)
+            out = jnp.dot(e.astype(vc.dtype), vc,
+                          preferred_element_type=jnp.float32)
+            o_ref[0, 0, :, c] = (out * rs).astype(o_ref.dtype)
+
+    return kernel
+
+
+def _mk_space_bwd_bsd_v2(scale, hd, hpb, f32_mm=False):
+    # backward of the exp2/deferred-norm formulation.  Beyond the v1
+    # structure it keeps the dp and dv matmul operands in the INPUT dtype
+    # (bf16 in production): v1 upcast the already-bf16 do/v operands and
+    # ran those two [L, L+1]-output matmuls on the MXU's (much slower)
+    # f32 path for zero information gain; dv's probability operand is cast
+    # to the input dtype exactly like the forward's value matmul (and the
+    # XLA oracle's own backward).  In the f32 CPU/interpret tests every
+    # cast is a no-op, so v1 and v2 still match to f32 rounding.
+    def kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, do_ref,
+               dq_ref, dk_ref, dv_ref, dck_ref, dcv_ref):
+        for hp in range(hpb):
+            c = slice(hp * hd, (hp + 1) * hd)
+            q = q_ref[0, 0, :, c]
+            kc = jnp.concatenate([ck_ref[0, :, c], k_ref[0, 0, :, c]],
+                                 axis=0)
+            vc = jnp.concatenate([cv_ref[0, :, c], v_ref[0, 0, :, c]],
+                                 axis=0)
+            do = do_ref[0, 0, :, c]                    # input dtype
+            # v2x: f32 dp/dv matmul operands (the v1 behavior) — only the
+            # dp/dv matmuls differ; dl/dq/dk stay in the input dtype
+            dom = do.astype(jnp.float32) if f32_mm else do
+            vm = vc.astype(jnp.float32) if f32_mm else vc
+
+            qs = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(kc.dtype)
+            logits = jnp.dot(qs, kc.T, preferred_element_type=jnp.float32)
+            m = jnp.max(logits, axis=1, keepdims=True)
+            e = jnp.exp2(logits - m)
+            rs = 1.0 / jnp.sum(e, axis=1, keepdims=True)
+            pr = e * rs
+
+            dp = jnp.dot(dom, vm.T, preferred_element_type=jnp.float32)
+            inner = jnp.sum(dp * pr, axis=1, keepdims=True)
+            dl = (pr * (dp - inner)).astype(kc.dtype)
+
+            dq = jnp.dot(dl, kc, preferred_element_type=jnp.float32)
+            dq_ref[0, 0, :, c] = (dq * scale).astype(dq_ref.dtype)
+            # qs carries the extra log2(e) factor; ln(2) restores dk's scale
+            dkc = jnp.dot(dl.T, qs,
+                          preferred_element_type=jnp.float32) * _LN2
+            dvc = jnp.dot(pr.astype(dom.dtype).T, dom,
                           preferred_element_type=jnp.float32)
             dck_ref[0, 0, :, c] = dkc[:1].astype(dck_ref.dtype)
             dk_ref[0, 0, :, c] = dkc[1:].astype(dk_ref.dtype)
@@ -492,7 +604,7 @@ def _space_fwd_bsd_call(q, k, v, cls_k, cls_v, *, hd, scale):
     lb = _lane_block(D, hd)
     blk, cls = _space_bsd_specs(L, lb)
     return pl.pallas_call(
-        _mk_space_fwd_bsd(scale, hd, lb // hd),
+        _space_fwd_body(scale, hd, lb // hd),
         grid=(B, D // lb, G),
         in_specs=[blk, blk, blk, cls, cls],
         out_specs=blk,
@@ -515,7 +627,7 @@ def _space_bwd_bsd_call(q, k, v, cls_k, cls_v, do, *, hd, scale):
         jax.ShapeDtypeStruct((B, G, 1, D), q.dtype),   # dcv per group
     )
     return pl.pallas_call(
-        _mk_space_bwd_bsd(scale, hd, lb // hd),
+        _space_bwd_body(scale, hd, lb // hd),
         grid=(B, D // lb, G),
         in_specs=[blk, blk, blk, cls, cls, blk],
         out_specs=(blk, blk, blk, cls_out, cls_out),

@@ -466,3 +466,49 @@ def test_time_kernel_variants_match(rng, monkeypatch, variant, f):
     for a, b, nm in zip(grads, want_g, ["dq", "dk", "dv", "dck", "dcv"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b).reshape(
             np.asarray(a).shape), rtol=3e-4, atol=3e-5, err_msg=nm)
+
+
+@pytest.mark.parametrize("variant", ["v1", "v2"])
+def test_space_kernel_variants_match(rng, monkeypatch, variant):
+    """Both space-kernel bodies — v1 (divide-then-matmul softmax, f32
+    backward matmuls) and v2 (exp2 softmax, deferred normalisation,
+    input-dtype backward matmuls) — produce the same forward values and
+    input gradients.  The variant is consulted at trace time
+    (EGOVLP_SPACE_KERNEL)."""
+    import egovlp_tpu.kernels.pallas_attention as pa
+    from egovlp_tpu.kernels.divided_attention import divided_attention_parts
+
+    monkeypatch.setenv("EGOVLP_SPACE_KERNEL", variant)
+    B, H, D, f, n = 2, 4, 256, 3, 20
+    hd = D // H
+    scale = hd ** -0.5
+    q, k, v, do = (jnp.asarray(rng.normal(size=(B, f, n, D)), jnp.float32)
+                   for _ in range(4))
+    ck, cv = (jnp.asarray(rng.normal(size=(B, 1, D)), jnp.float32)
+              for _ in range(2))
+
+    fn = pa.make_space_attention_bsd(H, scale)
+    out, vjp = jax.vjp(fn, q, k, v, ck, cv)
+    grads = vjp(do)
+
+    # XLA oracle on the grid layout: loss only on the patch rows, so the
+    # (zero-query) CLS row contributes nothing to the compared gradients
+    qc = jnp.zeros((B, 1, D), jnp.float32)
+
+    def oracle(q, k, v, ck, cv):
+        _, op = divided_attention_parts(qc, ck, cv, q, k, v, heads=H,
+                                        frames=f, patches=n, axis="space",
+                                        impl="xla")
+        return op
+
+    want = oracle(q, k, v, ck, cv)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
+
+    def loss(q, k, v, ck, cv):
+        return jnp.sum(oracle(q, k, v, ck, cv) * do)
+
+    want_g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(q, k, v, ck, cv)
+    for a, b, nm in zip(grads, want_g, ["dq", "dk", "dv", "dck", "dcv"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b).reshape(
+            np.asarray(a).shape), rtol=3e-4, atol=3e-5, err_msg=nm)
