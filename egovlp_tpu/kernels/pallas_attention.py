@@ -421,7 +421,11 @@ def _space_kernel_variant() -> str:
     time)."""
     import os
 
-    return os.environ.get("EGOVLP_SPACE_KERNEL", "v2")
+    var = os.environ.get("EGOVLP_SPACE_KERNEL", "v2")
+    if var not in ("v1", "v2", "v2x"):
+        raise ValueError(
+            f"EGOVLP_SPACE_KERNEL={var!r}: expected one of v1/v2/v2x")
+    return var
 
 
 def _space_fwd_body(scale, hd, hpb):
@@ -748,7 +752,11 @@ def _time_kernel_variant() -> str:
     VPU bodies (EGOVLP_TIME_KERNEL overrides; consulted at trace time)."""
     import os
 
-    return os.environ.get("EGOVLP_TIME_KERNEL", "v2")
+    var = os.environ.get("EGOVLP_TIME_KERNEL", "v2")
+    if var not in ("v1", "v2", "v3", "v3b"):
+        raise ValueError(
+            f"EGOVLP_TIME_KERNEL={var!r}: expected one of v1/v2/v3/v3b")
+    return var
 
 
 def _seg_mats(f, lb, hd, hpb):
@@ -1239,13 +1247,17 @@ def time_n_block(f: int, n: int, lb: int, itemsize: int = 2,
     if env:
         return int(env)
 
-    key = (f, n, lb)
+    # variant in the key: a process that flips EGOVLP_TIME_KERNEL between
+    # traces must not reuse an nb probed for the other body's VMEM shape
+    variant = _time_kernel_variant()
+    key = (variant, f, n, lb)
     if key in _NB_CACHE:
         return _NB_CACHE[key]
     # the kernel re-queries with the call site's PADDED n (ceil to nb);
     # reuse the unpadded entry's choice so both sides always agree
-    for (kf, kn, klb), nb in _NB_CACHE.items():
-        if kf == f and klb == lb and -(-kn // nb) * nb == n:
+    for (kvar, kf, kn, klb), nb in _NB_CACHE.items():
+        if kvar == variant and kf == f and klb == lb \
+                and -(-kn // nb) * nb == n:
             _NB_CACHE[key] = nb
             return nb
 
@@ -1253,7 +1265,7 @@ def time_n_block(f: int, n: int, lb: int, itemsize: int = 2,
     # (kv2's single-step-grid probes admitted nb values that OOM'd scoped
     # VMEM in production) and the result is pad-balanced — versioning
     # invalidates stale cached sizes
-    disk_key = (f"{_device_kind()}|jax{jax.__version__}|kv5{_time_kernel_variant()}|f{f}|n{n}|lb{lb}")
+    disk_key = (f"{_device_kind()}|jax{jax.__version__}|kv5{variant}|f{f}|n{n}|lb{lb}")
     cached = _nb_disk_get(disk_key)
     if cached is not None:
         _NB_CACHE[key] = int(cached)

@@ -88,9 +88,9 @@ class VideoTowerConfig:
     ln_eps: float = 1e-6
     time_init: str = "zeros"  # 'zeros' => starts as a ViT (reference :90-96)
     # divided-attention implementation — see resolve_attention_impls:
-    # 'auto' (frame-aware TPU policy: space always fused, time fused below
-    # 16 frames / XLA at 16+), 'mixed' (space fused, time XLA), or
-    # 'xla' / 'pallas' forcing one implementation for both axes.
+    # 'auto' (TPU: both kernels fused at every frame count, since the r4
+    # MXU-segmented time bodies), 'mixed'/'mixed2' (space fused, time
+    # XLA/XLA-canonical), or 'xla' / 'pallas' forcing both axes.
     attention_impl: str = "auto"
     # rematerialization (jax.checkpoint) for the backward pass:
     #   False/'none' — save all activations;
@@ -271,8 +271,8 @@ class SpaceTimeBlock(nn.Module):
         both = lambda m, pair: (m(pair[0]), m(pair[1]))
         add = lambda a, b: (a[0] + b[0], a[1] + b[1])
 
-        # 'auto' is frame-aware on TPU (fused time kernel below 16 frames,
-        # XLA time attention at 16+; see resolve_attention_impls)
+        # 'auto' on TPU = both kernels fused at every frame count
+        # (see resolve_attention_impls for the measured policy history)
         space_impl, time_impl = resolve_attention_impls(
             cfg.attention_impl, frames)
         # sequence parallelism no longer forces the XLA op: the Pallas

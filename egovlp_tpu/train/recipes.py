@@ -226,7 +226,8 @@ def run_task(config, resume: Optional[str] = None):
     milestones = tuple(trainer_cfg.get("lr_milestones", (60, 80)))
     tx = make_optimizer(lr, milestones, steps_per_epoch,
                         weight_decay=float(opt_args.get("weight_decay", 0.0)),
-                        mu_dtype=opt_args.get("mu_dtype"))
+                        mu_dtype=opt_args.get("mu_dtype"),
+                        variant=opt_args.get("variant", "optax"))
     state = create_train_state(model, params, tx)
     if mesh.shape.get("model", 1) > 1:
         from egovlp_tpu.core.tp import shard_state_tp

@@ -63,6 +63,11 @@ struct Decoder {
   int64_t frame_count = 0;
   double fps = 0.0;
   int64_t last_decoded_index = -2;  // for sequential fast path
+  // Set once any decoded frame lacks a pts: frame indexing then falls back
+  // to last_index+1, which UNDERCOUNTS frames the codec dropped — the
+  // NONREF skip-roll would silently deliver a later frame as the target,
+  // so skipping is permanently disabled for this stream.
+  bool no_pts_seen = false;
   std::string error;
 };
 
@@ -191,13 +196,28 @@ namespace {
 // A reorder-depth margin before the target keeps the skip from eating the
 // target itself if it happens to be a non-ref frame (H.264 caps reference
 // depth at 16).
-bool decode_to(Decoder* d, int64_t target_index) {
+//
+// Two safety rails (the margin alone is not sufficient):
+//   * streams without per-frame pts fall back to last_index+1 counting,
+//     which undercounts codec-dropped frames — skipping is disabled for
+//     the rest of the stream the first time a pts-less frame appears;
+//   * if the roll still lands PAST the target while frames were skipped
+//     (e.g. reorder depth deeper than the 16-frame margin), the caller is
+//     told to re-seek and retry with skipping off instead of accepting a
+//     later frame as the target.
+//
+// Returns 1 on success, 0 on EOF/error, 2 if the skip-roll overshot the
+// target (a skipped frame may have BEEN the target; re-seek + retry with
+// allow_skip=false is lossless by construction).
+int decode_to(Decoder* d, int64_t target_index, bool allow_skip) {
   PhaseTimer pt;
   const int64_t kSkipMargin = 16;
   const AVDiscard kDefaultSkip = d->codec->skip_frame;
+  long long skipped_this_roll = 0;
   // Current stream position in frames, derived from pts of last frame.
   while (true) {
-    bool rolling = d->last_decoded_index >= 0 &&
+    bool rolling = allow_skip && !d->no_pts_seen &&
+                   d->last_decoded_index >= 0 &&
                    target_index - d->last_decoded_index > kSkipMargin;
     d->codec->skip_frame = rolling ? AVDISCARD_NONREF : kDefaultSkip;
     int ret = avcodec_receive_frame(d->codec, d->frame);
@@ -209,16 +229,18 @@ bool decode_to(Decoder* d, int64_t target_index) {
         idx = (int64_t)(sec * d->fps + 0.5);
       } else {
         idx = d->last_decoded_index + 1;
+        d->no_pts_seen = true;  // counting is now lossy: no more skipping
       }
       if (rolling && idx > d->last_decoded_index + 1) {
-        g_n_frames_skipped.fetch_add(idx - d->last_decoded_index - 1,
-                                     std::memory_order_relaxed);
+        long long sk = idx - d->last_decoded_index - 1;
+        skipped_this_roll += sk;
+        g_n_frames_skipped.fetch_add(sk, std::memory_order_relaxed);
       }
       d->last_decoded_index = idx;
       if (idx >= target_index) {
         d->codec->skip_frame = kDefaultSkip;
         g_decode_ns.fetch_add(pt.ns(), std::memory_order_relaxed);
-        return true;
+        return (idx > target_index && skipped_this_roll > 0) ? 2 : 1;
       }
       continue;
     }
@@ -242,29 +264,38 @@ bool decode_to(Decoder* d, int64_t target_index) {
     }
     d->codec->skip_frame = kDefaultSkip;
     g_decode_ns.fetch_add(pt.ns(), std::memory_order_relaxed);
-    return false;  // EOF or error
+    return 0;  // EOF or error
   }
 }
 
 bool seek_to(Decoder* d, int64_t index) {
   if (index == d->last_decoded_index) return true;  // current frame cached
+  bool allow_skip = true;
   // Sequential fast path: target is ahead and near; just decode forward.
   if (index > d->last_decoded_index &&
       index - d->last_decoded_index <= 64) {
-    return decode_to(d, index);
+    int rc = decode_to(d, index, allow_skip);
+    if (rc == 1) return true;
+    if (rc == 0) return false;
+    allow_skip = false;  // skip-roll overshot: redo losslessly from keyframe
   }
-  PhaseTimer pt;
-  g_n_seek.fetch_add(1, std::memory_order_relaxed);
-  double sec = d->fps > 0 ? index / d->fps : 0.0;
-  int64_t ts = (int64_t)(sec / av_q2d(d->stream->time_base) + 0.5);
-  if (av_seek_frame(d->fmt, d->stream_index, ts, AVSEEK_FLAG_BACKWARD) < 0) {
+  for (;;) {
+    PhaseTimer pt;
+    g_n_seek.fetch_add(1, std::memory_order_relaxed);
+    double sec = d->fps > 0 ? index / d->fps : 0.0;
+    int64_t ts = (int64_t)(sec / av_q2d(d->stream->time_base) + 0.5);
+    if (av_seek_frame(d->fmt, d->stream_index, ts, AVSEEK_FLAG_BACKWARD) < 0) {
+      g_seek_ns.fetch_add(pt.ns(), std::memory_order_relaxed);
+      return false;
+    }
+    avcodec_flush_buffers(d->codec);
+    d->last_decoded_index = -2;
     g_seek_ns.fetch_add(pt.ns(), std::memory_order_relaxed);
-    return false;
+    int rc = decode_to(d, index, allow_skip);
+    if (rc == 1) return true;
+    if (rc == 0) return false;
+    allow_skip = false;  // overshot while skipping: one lossless retry
   }
-  avcodec_flush_buffers(d->codec);
-  d->last_decoded_index = -2;
-  g_seek_ns.fetch_add(pt.ns(), std::memory_order_relaxed);
-  return decode_to(d, index);
 }
 
 // Convert d->frame to RGB24 with short-side resize to `pre` and center
@@ -370,7 +401,12 @@ int ed_encode_video(const char* path, const uint8_t* rgb, int n, int w,
     return -2;
   }
   AVStream* st = avformat_new_stream(fmt, enc);
-  AVCodecContext* c = avcodec_alloc_context3(enc);
+  AVCodecContext* c = st ? avcodec_alloc_context3(enc) : nullptr;
+  if (!st || !c) {
+    avcodec_free_context(&c);
+    avformat_free_context(fmt);
+    return -4;
+  }
   c->width = w;
   c->height = h;
   c->pix_fmt = AV_PIX_FMT_YUV420P;
@@ -385,7 +421,7 @@ int ed_encode_video(const char* path, const uint8_t* rgb, int n, int w,
   AVFrame* fr = nullptr;
   AVPacket* pkt = nullptr;
   if (avcodec_open2(c, enc, nullptr) < 0) goto done;
-  avcodec_parameters_from_context(st->codecpar, c);
+  if (avcodec_parameters_from_context(st->codecpar, c) < 0) goto done;
   st->time_base = c->time_base;
   if (!(fmt->oformat->flags & AVFMT_NOFILE) &&
       avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0)
