@@ -12,6 +12,7 @@
 
 #include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <ctime>
 #include <string>
@@ -63,6 +64,10 @@ struct Decoder {
   int64_t frame_count = 0;
   double fps = 0.0;
   int64_t last_decoded_index = -2;  // for sequential fast path
+  // NONREF skip-roll margin: stop skipping this many frames before the
+  // target (see decode_to).  Derived per stream from the real reorder
+  // depth at open; ED_SKIP_MARGIN overrides for A/B.
+  int64_t skip_margin = 16;
   // Set once any decoded frame lacks a pts: frame indexing then falls back
   // to last_index+1, which UNDERCOUNTS frames the codec dropped — the
   // NONREF skip-roll would silently deliver a later frame as the target,
@@ -123,6 +128,21 @@ void* ed_open(const char* path) {
   AVRational r = d->stream->avg_frame_rate.num ? d->stream->avg_frame_rate
                                                : d->stream->r_frame_rate;
   d->fps = r.den ? av_q2d(r) : 0.0;
+  // The margin only has to cover the decode-order/display-order offset
+  // (the packets already queued when the roll decision flips), which is
+  // the stream's reorder depth — NOT the 16-frame H.264 reference-depth
+  // worst case the fixed margin assumed.  r4 measured that with gop-30
+  // corpora a 16-frame margin never engages (rolls average ~gop/2); the
+  // overshoot-retry rail in seek_to makes an under-estimate lossless, so
+  // the tight bound + 2 is safe.  ED_SKIP_MARGIN=<n> overrides for A/B.
+  int reorder = d->codec->has_b_frames;
+  if (d->stream->codecpar->video_delay > reorder)
+    reorder = d->stream->codecpar->video_delay;
+  d->skip_margin = (int64_t)reorder + 2;
+  if (const char* env = getenv("ED_SKIP_MARGIN")) {
+    long v = strtol(env, nullptr, 10);
+    if (v >= 0) d->skip_margin = v;
+  }
   d->frame_count = guess_frame_count(d);
   d->frame = av_frame_alloc();
   d->pkt = av_packet_alloc();
@@ -194,8 +214,8 @@ namespace {
 // never used to predict any later frame, so telling the codec to skip it
 // (skip_frame = AVDISCARD_NONREF) cannot change the target frame's bits.
 // A reorder-depth margin before the target keeps the skip from eating the
-// target itself if it happens to be a non-ref frame (H.264 caps reference
-// depth at 16).
+// target itself if it happens to be a non-ref frame (per-stream
+// `skip_margin` = real reorder depth + 2, set at open).
 //
 // Two safety rails (the margin alone is not sufficient):
 //   * streams without per-frame pts fall back to last_index+1 counting,
@@ -211,7 +231,7 @@ namespace {
 // allow_skip=false is lossless by construction).
 int decode_to(Decoder* d, int64_t target_index, bool allow_skip) {
   PhaseTimer pt;
-  const int64_t kSkipMargin = 16;
+  const int64_t kSkipMargin = d->skip_margin;
   const AVDiscard kDefaultSkip = d->codec->skip_frame;
   long long skipped_this_roll = 0;
   // Current stream position in frames, derived from pts of last frame.

@@ -244,6 +244,32 @@ def test_native_skip_roll_bit_exact_with_bframes(tmp_path):
         assert st["n_frames_decoded"] < 200
 
 
+def test_native_skip_roll_zero_margin_overshoot_retry(tmp_path, monkeypatch):
+    """ED_SKIP_MARGIN=0 makes the skip-roll run right up to the target, so
+    B-frame targets get skipped and the roll OVERSHOOTS — the decode_to
+    rc=2 rail must then re-seek and retry with skipping off, keeping random
+    access bit-exact (rather than silently delivering a later frame).  The
+    margin is read at ed_open, so the env must be set before NativeVideo."""
+    p = _make_bframe_video(tmp_path / "b0.mp4")
+    v = native.NativeVideo(p)
+    seq, _ = v.read_frames(list(range(200)), pre_size=64)
+    v.close()
+
+    monkeypatch.setenv("ED_SKIP_MARGIN", "0")
+    native.decode_stats(reset=True)
+    # isolated single-target reads: every access seeks + rolls, and with
+    # B-frames ~2/3 of targets are non-ref, so overshoots are guaranteed
+    for t in (7, 8, 52, 53, 149, 150, 151, 197, 198):
+        v2 = native.NativeVideo(p)
+        got, n_ok = v2.read_frames([t], pre_size=64)
+        v2.close()
+        assert n_ok == 1
+        np.testing.assert_array_equal(got[0], seq[t])
+    st = native.decode_stats(reset=True)
+    if st:
+        assert st.get("n_frames_skipped", 0) > 0
+
+
 def test_native_encoder_rejects_bad_shape(tmp_path):
     with pytest.raises(ValueError):
         native.encode_video(tmp_path / "x.mp4", np.zeros((4, 8, 8), np.uint8))
