@@ -415,23 +415,29 @@ def _mk_space_bwd_bsd(scale, hd, hpb):
 
 
 def _space_kernel_variant() -> str:
-    """'v2' (default) = exp2 softmax, deferred normalisation, input-dtype
+    """'v3' (default) = head-packed dense matmuls over block-stacked
+    lane-masked k/v (r5: won 14/16 same-session rounds vs v2, 4f fwd+bwd
+    2.00 vs 2.09 ms/block, 16f 4.56 vs 4.65 — scripts/space_kernel_ab.py);
+    'v2' = per-head exp2 softmax, deferred normalisation, input-dtype
     backward matmuls; 'v1' = the r2/r3 divide-then-matmul bodies with f32
     dp/dv matmuls (EGOVLP_SPACE_KERNEL overrides; consulted at trace
     time)."""
     import os
 
-    var = os.environ.get("EGOVLP_SPACE_KERNEL", "v2")
-    if var not in ("v1", "v2", "v2x"):
+    var = os.environ.get("EGOVLP_SPACE_KERNEL", "v3")
+    if var not in ("v1", "v2", "v2x", "v3"):
         raise ValueError(
-            f"EGOVLP_SPACE_KERNEL={var!r}: expected one of v1/v2/v2x")
+            f"EGOVLP_SPACE_KERNEL={var!r}: expected one of v1/v2/v2x/v3")
     return var
 
 
 def _space_fwd_body(scale, hd, hpb):
     var = _space_kernel_variant()
     mk = {"v1": _mk_space_fwd_bsd, "v2": _mk_space_fwd_bsd_v2,
-          "v2x": _mk_space_fwd_bsd_v2}[var]
+          "v2x": _mk_space_fwd_bsd_v2, "v3": _mk_space_fwd_bsd_v3}[var]
+    # head-packing is a no-op at one head per lane block
+    if var == "v3" and hpb == 1:
+        mk = _mk_space_fwd_bsd_v2
     return mk(scale, hd, hpb)
 
 
@@ -439,7 +445,10 @@ def _space_bwd_body(scale, hd, hpb):
     var = _space_kernel_variant()
     if var == "v2x":
         return _mk_space_bwd_bsd_v2(scale, hd, hpb, f32_mm=True)
-    mk = {"v1": _mk_space_bwd_bsd, "v2": _mk_space_bwd_bsd_v2}[var]
+    if var == "v3" and hpb > 1:
+        return _mk_space_bwd_bsd_v3(scale, hd, hpb)
+    mk = {"v1": _mk_space_bwd_bsd, "v2": _mk_space_bwd_bsd_v2,
+          "v3": _mk_space_bwd_bsd_v2}[var]
     return mk(scale, hd, hpb)
 
 
@@ -519,6 +528,125 @@ def _mk_space_bwd_bsd_v2(scale, hd, hpb, f32_mm=False):
             dk_ref[0, 0, :, c] = dkc[1:].astype(dk_ref.dtype)
             dcv_ref[0, 0, :, c] = dvc[:1].astype(dcv_ref.dtype)
             dv_ref[0, 0, :, c] = dvc[1:].astype(dv_ref.dtype)
+
+    return kernel
+
+
+def _space_pack_mats(Lk, lb, hd, hpb):
+    """Lane-mask / selector matrices for the head-packed v3 bodies.
+
+    ``lane [Lk, lb]``: lane l belongs to head l // hd (used to build the
+    block-stacked masked k/v copies and to extract per-head rows from the
+    packed dk/dv products).  ``sel [hpb*Lk, hpb]``: packed column i belongs
+    to head i // Lk (per-head row sums of the packed [L, hpb*Lk] logits).
+    ``seg [lb, hpb]``: per-head scalars -> lane broadcast (as _seg_mats)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Lk, lb), 1) // hd
+    ci = jax.lax.broadcasted_iota(jnp.int32, (hpb * Lk, hpb), 0) // Lk
+    hj = jax.lax.broadcasted_iota(jnp.int32, (hpb * Lk, hpb), 1)
+    sel = (ci == hj).astype(jnp.float32)
+    li = jax.lax.broadcasted_iota(jnp.int32, (lb, hpb), 0) // hd
+    hi = jax.lax.broadcasted_iota(jnp.int32, (lb, hpb), 1)
+    seg = (li == hi).astype(jnp.float32)
+    return lane, sel, seg
+
+
+def _mk_space_fwd_bsd_v3(scale, hd, hpb):
+    # HEAD-PACKED formulation (the time-v2/v3 trick applied to space): all
+    # hpb heads of the 128-lane block go through ONE dense K=lb logits
+    # matmul against block-stacked lane-masked keys ([hpb*(L+1), lb]) and
+    # ONE K=hpb*(L+1) value matmul — 2 MXU ops per block instead of v2's
+    # 2*hpb ops at K-or-N = hd.  Same useful MACs (the mask zeros replace
+    # the array half K=hd leaves idle); the candidate win is halved weight
+    # -load/pipeline-fill overhead and one fused softmax pass.  Shared row
+    # max across heads (>= per-head max, equally stable).
+    def kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref):
+        L, lb = q_ref.shape[2], q_ref.shape[3]
+        Lk = L + 1
+        lane, sel, seg = _space_pack_mats(Lk, lb, hd, hpb)
+        kc = jnp.concatenate([ck_ref[0], k_ref[0, 0]], axis=0)   # [Lk, lb]
+        vc = jnp.concatenate([cv_ref[0], v_ref[0, 0]], axis=0)
+        zero = jnp.zeros((), kc.dtype)
+        kst = jnp.concatenate(
+            [jnp.where(lane == hp, kc, zero) for hp in range(hpb)], axis=0)
+        vst = jnp.concatenate(
+            [jnp.where(lane == hp, vc, zero) for hp in range(hpb)], axis=0)
+        qs = (q_ref[0, 0].astype(jnp.float32) * (scale * _LOG2E)
+              ).astype(kc.dtype)
+        logits = jax.lax.dot_general(
+            qs, kst, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [L, hpb*Lk]
+        m = jnp.max(logits, axis=1, keepdims=True)
+        e = jnp.exp2(logits - m)
+        out = jnp.dot(e.astype(vst.dtype), vst,
+                      preferred_element_type=jnp.float32)  # [L, lb]
+        rs = jnp.dot(e, sel, preferred_element_type=jnp.float32)  # [L, hpb]
+        inv_lanes = jnp.dot(1.0 / rs, seg.T,
+                            preferred_element_type=jnp.float32)   # [L, lb]
+        o_ref[0, 0] = (out * inv_lanes).astype(o_ref.dtype)
+
+    return kernel
+
+
+def _mk_space_bwd_bsd_v3(scale, hd, hpb):
+    # backward of the head-packed formulation: dp/dq run packed like the
+    # forward; the dk/dv products come from ONE [hpb*Lk, lb] matmul each
+    # (contract over L), from which head hp's rows are its lane-masked
+    # block — extraction is hpb cheap elementwise selects.
+    def kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, do_ref,
+               dq_ref, dk_ref, dv_ref, dck_ref, dcv_ref):
+        L, lb = q_ref.shape[2], q_ref.shape[3]
+        Lk = L + 1
+        lane, sel, seg = _space_pack_mats(Lk, lb, hd, hpb)
+        kc = jnp.concatenate([ck_ref[0], k_ref[0, 0]], axis=0)
+        vc = jnp.concatenate([cv_ref[0], v_ref[0, 0]], axis=0)
+        zero = jnp.zeros((), kc.dtype)
+        kst = jnp.concatenate(
+            [jnp.where(lane == hp, kc, zero) for hp in range(hpb)], axis=0)
+        vst = jnp.concatenate(
+            [jnp.where(lane == hp, vc, zero) for hp in range(hpb)], axis=0)
+        do = do_ref[0, 0]                                  # input dtype
+        qs = (q_ref[0, 0].astype(jnp.float32) * (scale * _LOG2E)
+              ).astype(kc.dtype)
+
+        logits = jax.lax.dot_general(
+            qs, kst, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m = jnp.max(logits, axis=1, keepdims=True)
+        e = jnp.exp2(logits - m)
+        rs = jnp.dot(e, sel, preferred_element_type=jnp.float32)
+        p = e * jnp.dot(1.0 / rs, sel.T,
+                        preferred_element_type=jnp.float32)  # [L, hpb*Lk]
+
+        dp = jax.lax.dot_general(
+            do, vst, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # [L, hpb*Lk]
+        inner = jnp.dot(dp * p, sel, preferred_element_type=jnp.float32)
+        dl = (p * (dp - jnp.dot(inner, sel.T,
+                                preferred_element_type=jnp.float32))
+              ).astype(kc.dtype)
+
+        dq = jnp.dot(dl, kst, preferred_element_type=jnp.float32)  # [L, lb]
+        dq_ref[0, 0] = (dq * scale).astype(dq_ref.dtype)
+
+        # packed cross products: [hpb*Lk, lb]; head hp's rows valid only in
+        # its own lanes (the other lanes hold cross-head garbage) — the
+        # lane mask extracts and sums the per-head blocks back to [Lk, lb]
+        dkp = jax.lax.dot_general(dl, qs, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32) * _LN2
+        dvp = jax.lax.dot_general(p.astype(do.dtype), do,
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        zf = jnp.zeros((), jnp.float32)
+        dkc = dvc = None
+        for hp in range(hpb):
+            blk_k = jnp.where(lane == hp, dkp[hp * Lk:(hp + 1) * Lk], zf)
+            blk_v = jnp.where(lane == hp, dvp[hp * Lk:(hp + 1) * Lk], zf)
+            dkc = blk_k if dkc is None else dkc + blk_k
+            dvc = blk_v if dvc is None else dvc + blk_v
+        dck_ref[0, 0] = dkc[:1].astype(dck_ref.dtype)
+        dk_ref[0, 0] = dkc[1:].astype(dk_ref.dtype)
+        dcv_ref[0, 0] = dvc[:1].astype(dcv_ref.dtype)
+        dv_ref[0, 0] = dvc[1:].astype(dv_ref.dtype)
 
     return kernel
 

@@ -468,11 +468,12 @@ def test_time_kernel_variants_match(rng, monkeypatch, variant, f):
             np.asarray(a).shape), rtol=3e-4, atol=3e-5, err_msg=nm)
 
 
-@pytest.mark.parametrize("variant", ["v1", "v2"])
+@pytest.mark.parametrize("variant", ["v1", "v2", "v3"])
 def test_space_kernel_variants_match(rng, monkeypatch, variant):
-    """Both space-kernel bodies — v1 (divide-then-matmul softmax, f32
-    backward matmuls) and v2 (exp2 softmax, deferred normalisation,
-    input-dtype backward matmuls) — produce the same forward values and
+    """All space-kernel bodies — v1 (divide-then-matmul softmax, f32
+    backward matmuls), v2 (exp2 softmax, deferred normalisation,
+    input-dtype backward matmuls), and v3 (head-packed dense matmuls over
+    block-stacked lane-masked k/v) — produce the same forward values and
     input gradients.  The variant is consulted at trace time
     (EGOVLP_SPACE_KERNEL)."""
     import egovlp_tpu.kernels.pallas_attention as pa
