@@ -51,11 +51,11 @@ class CheckpointManager:
         # serialize with any in-flight write BEFORE mutating the target
         # (model_best is overwritten every improvement)
         self._ckptr.wait_until_finished()
-        if path.exists():
-            import shutil
-
-            shutil.rmtree(path)
-        self._ckptr.save(path, state)
+        # force=True delegates overwrite to Orbax: it barriers all processes
+        # at save_start and rmtrees on the primary host only.  A manual
+        # rmtree here raced under jax.distributed (every process deleting
+        # the same shared-FS dir -> FileNotFoundError on the loser).
+        self._ckptr.save(path, state, force=True)
         if not self.async_save:
             self._ckptr.wait_until_finished()
 

@@ -17,15 +17,18 @@ Each process owns 2 virtual CPU devices, initializes jax.distributed, and:
 import os
 import sys
 
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+coordinator, rank, nprocs = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+mode = sys.argv[4] if len(sys.argv) > 4 else "step"
+# mode=task compares topologies at a FIXED global chip count (4): the
+# single-process oracle owns all 4 virtual devices, 2 processes own 2 each
+_dev = max(1, 4 // nprocs) if mode == "task" else 2
+os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={_dev}"
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-coordinator, rank, nprocs = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
-mode = sys.argv[4] if len(sys.argv) > 4 else "step"
 jax.distributed.initialize(coordinator_address=coordinator,
                            num_processes=nprocs, process_id=rank)
 
@@ -38,7 +41,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from egovlp_tpu.core.mesh import MeshSpec, create_mesh, replicated, shard_batch
 
 assert jax.process_count() == nprocs, jax.process_count()
-assert jax.device_count() == 2 * nprocs
+assert jax.device_count() == _dev * nprocs
+
+if mode == "task":
+    # full config-driven run_task under jax.distributed: train epoch(s) +
+    # EgoMCQ val (cross-process gather) + Orbax checkpoint (+ resume when a
+    # checkpoint path is given) — the cli-level multi-host path, end to end
+    import json
+
+    from egovlp_tpu.io.config import Config
+    from egovlp_tpu.train.recipes import run_task
+
+    config = Config(json.load(open(sys.argv[5])))
+    resume = sys.argv[6] if len(sys.argv) > 6 and sys.argv[6] != "-" else None
+    state = run_task(config, resume=resume)
+    print(f"TASKDONE step={int(state.step)}", flush=True)
+    sys.exit(0)
 
 mesh = create_mesh(MeshSpec())
 

@@ -12,6 +12,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+from tests.test_datasets import egoclip_root  # noqa: F401  (fixture)
+
 
 def _free_port():
     with socket.socket() as s:
@@ -118,6 +120,156 @@ def test_two_process_eval_gather_equals_single_process():
 
     oracle = oscc_eval_metrics(0, 1)  # single process, whole dataset
     assert metrics[0] == pytest.approx(oracle), (metrics[0], oracle)
+
+
+def _run_task_workers(nprocs: int, cfg_path: str, resume: str = "-"):
+    """Launch run_task under jax.distributed across nprocs processes (the
+    global chip count stays 4: the worker gives each process 4//nprocs
+    virtual devices) and wait for every rank's TASKDONE."""
+    worker = Path(__file__).parent / "multihost_worker.py"
+    coord = f"127.0.0.1:{_free_port()}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), coord, str(rank), str(nprocs),
+             "task", cfg_path, resume],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for rank in range(nprocs)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+        assert "TASKDONE" in out, f"rank {rank} never finished:\n{out}"
+
+
+def _read_metrics(save_dir: Path):
+    """rank-0 metrics.jsonl -> {(step, tag): value}, wall-clock tags
+    dropped."""
+    import json
+
+    files = list(Path(save_dir).glob("tf/*/*/metrics.jsonl"))
+    assert len(files) == 1, files
+    out = {}
+    for line in files[0].read_text().splitlines():
+        rec = json.loads(line)
+        if rec["tag"].endswith("steps_per_sec"):
+            continue
+        out[(rec["step"], rec["tag"])] = rec["value"]
+    return out
+
+
+def test_two_process_run_task_end_to_end(egoclip_root, tmp_path):
+    """The cli-level multi-host path, end to end (VERDICT r4 #8): run_task
+    (train epochs + EgoMCQ val + Orbax checkpoint + resume) under a real
+    2-process jax.distributed runtime must reproduce the single-process
+    run's rank-0 metrics.
+
+      run A: 1 process x 4 devices, 2 epochs     (cross-topology oracle)
+      run B: 2 processes x 2 devices, 1 epoch + ckpt
+      run C: 2 processes x 2 devices, resumed from B's epoch-1 checkpoint,
+             trains epoch 2
+      run D: 2 processes x 2 devices, 2 epochs   (same-topology oracle)
+
+    Asserts, strongest first: resumed C reproduces straight-through D's
+    epoch-2 rows and D's epoch-1 rows reproduce B's TIGHTLY (same topology
+    is deterministic: the Loader collects futures in submission order and
+    per-item RNG keys on (seed, epoch, index)); B matches A's epoch-1 rows
+    to fp tolerance (global batch is a shard-round-robin permutation of
+    the oracle's and EgoNCE/MCQ are permutation-invariant).  Epoch-2
+    cross-topology rows (D vs A) get a looser band: the epoch-1 gradient
+    all-reduce happens in a different association order per topology, so
+    params drift at f32 level and the drift compounds through epoch 2
+    (measured ~0.27% on this tiny recipe)."""
+    import json
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "#", "c", "does", "thing",
+             "query", "opt"] + [str(i) for i in range(10)]
+    vp = tmp_path / "vocab.txt"
+    vp.write_text("\n".join(vocab))
+
+    def make_cfg(save_dir: Path, epochs: int) -> str:
+        cfg = {
+            "name": "tiny_mh",
+            "task": "egoclip",
+            "arch": {
+                "type": "FrozenInTime",
+                "args": {
+                    "video_params": {
+                        "model": "SpaceTimeTransformer", "num_frames": 4,
+                        "img_size": 32, "patch_size": 16, "embed_dim": 24,
+                        "depth": 1, "num_heads": 2, "time_init": "zeros",
+                    },
+                    "text_params": {
+                        "vocab_size": 32, "dim": 24, "n_layers": 1,
+                        "n_heads": 2, "hidden_dim": 48,
+                        "max_position_embeddings": 16, "max_length": 8,
+                        "vocab": str(vp),
+                    },
+                    "projection": "minimal",
+                    "projection_dim": 8,
+                    "load_checkpoint": "",
+                },
+            },
+            "data_loader": {
+                "type": "Loader",
+                "args": {
+                    "dataset_name": "EgoClip_EgoMCQ",
+                    "data_dir": egoclip_root,
+                    "meta_dir": egoclip_root,
+                    "batch_size": 1,   # per chip; global stays 4 items
+                    "num_workers": 2,
+                    "neg_param": 1,
+                    "video_params": {"input_res": 32, "num_frames": 4,
+                                     "pre_size": 32, "loading": "strict"},
+                },
+            },
+            "optimizer": {"type": "AdamW", "args": {"lr": 1e-3}},
+            "loss": {"type": "EgoNCE", "args": {}},
+            "trainer": {
+                "epochs": epochs,
+                "save_dir": str(save_dir),
+                "save_period": 1,
+                "monitor": "max Inter-video",
+                "early_stop": 5,
+                "init_val": False,
+                "lr_milestones": [60, 80],
+            },
+        }
+        p = tmp_path / f"cfg_{save_dir.name}_{epochs}.json"
+        p.write_text(json.dumps(cfg))
+        return str(p)
+
+    dir_a, dir_b, dir_c, dir_d = (
+        tmp_path / n for n in ("runA", "runB", "runC", "runD"))
+    _run_task_workers(1, make_cfg(dir_a, epochs=2))
+    _run_task_workers(2, make_cfg(dir_b, epochs=1))
+    _run_task_workers(2, make_cfg(dir_d, epochs=2))
+
+    ckpts = list(dir_b.glob("models/*/*/checkpoint-epoch1"))
+    assert len(ckpts) == 1, list(dir_b.rglob("*"))
+    _run_task_workers(2, make_cfg(dir_c, epochs=2), resume=str(ckpts[0]))
+
+    a, b, c, d = (_read_metrics(x) for x in (dir_a, dir_b, dir_c, dir_d))
+    assert b, "2-process run logged no metrics"
+    assert c, "resumed 2-process run logged no metrics"
+    # the resumed run really produced the epoch-2 validation rows and no
+    # epoch-1 rows (it trains only the resumed epoch)
+    assert any(step == 2 and tag.startswith("val/") for step, tag in c), c
+    # same topology, straight vs resumed: B == D's epoch-1, C == D's
+    # epoch-2 (tight: resume ≡ continuous training)
+    for key, val in b.items():
+        assert val == pytest.approx(d[key], rel=1e-6, abs=1e-8), (
+            "B vs D", key, val, d[key])
+    for key, val in c.items():
+        assert val == pytest.approx(d[key], rel=1e-6, abs=1e-8), (
+            "C(resumed) vs D(straight)", key, val, d[key])
+    # cross-topology: epoch-1 rows to fp tolerance, epoch-2 rows looser
+    # (compounded reduction-order drift, see docstring)
+    for key, val in d.items():
+        assert key in a, (key, sorted(a))
+        tol = 2e-3 if key in b else 1e-2  # b's keys ARE the epoch-1 rows
+        assert val == pytest.approx(a[key], rel=tol, abs=1e-5), (
+            "D vs A", key, val, a[key])
 
 
 def test_two_process_ring_loss_equals_gather():
