@@ -129,14 +129,23 @@ class EgoMCQDataset(TextVideoDataset):
             (self.NUM_OPTIONS, self.cfg.num_frames, self.cfg.pre_size,
              self.cfg.pre_size, 3), np.uint8,
         )
-        texts = []
         helper = EgoClipDataset.__new__(EgoClipDataset)
         helper.cfg = self.cfg
-        # insertion order, like the reference's dict iteration (:140)
-        for i, key in enumerate(options.keys()):
-            opt = options[key]
-            videos[i] = helper._read_clip(opt, rng)
-            texts.append(str(opt["clip_text"]))
+        # output slots follow insertion order, like the reference's dict
+        # iteration (:140) — but DECODE in (video, chunk, start) order:
+        # same-chunk options then hit the decoder's sequential forward
+        # fast path instead of re-seeking and re-rolling the GOP per
+        # option (the val sampler is deterministic, so decode order can't
+        # change the frames; measured with scripts/mcq_eval_profile.py)
+        keys = list(options.keys())
+        texts = [str(options[k]["clip_text"]) for k in keys]
+        decode_order = sorted(
+            range(len(keys)),
+            key=lambda i: (str(options[keys[i]]["video_uid"]),
+                           float(options[keys[i]].get("clip_start", 0.0))),
+        ) if self.frame_sample != "rand" else range(len(keys))
+        for i in decode_order:
+            videos[i] = helper._read_clip(options[keys[i]], rng)
         return {
             "frames_options": videos,
             "text": query,

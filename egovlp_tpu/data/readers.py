@@ -229,9 +229,13 @@ def read_frames_egoclip(video_path_1: str, video_path_2: str,
                    else (np.zeros((0, pre_size, pre_size, 3), np.uint8), 0))
         f2, ok2 = (v2.read_frames(locals_2, pre_size) if locals_2
                    else (np.zeros((0, pre_size, pre_size, 3), np.uint8), 0))
-        out = np.zeros((len(idxs), pre_size, pre_size, 3), np.uint8)
-        for i, which, j in order:
-            out[i] = f1[j] if which == 1 else f2[j]
+        if not locals_2:
+            out = f1  # common case (clip inside one chunk): the decode
+            # buffer is already frame-ordered — skip the per-frame copy
+        else:
+            out = np.zeros((len(idxs), pre_size, pre_size, 3), np.uint8)
+            for i, which, j in order:
+                out[i] = f1[j] if which == 1 else f2[j]
         ok = True
     finally:
         # handles go back to this thread's cache (the scene negative of the
