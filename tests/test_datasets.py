@@ -202,6 +202,25 @@ def test_egomcq_item(egoclip_root, rng):
     assert len(item["text_options"]) == 5
 
 
+def test_egomcq_sorted_decode_keeps_slot_order(egoclip_root, rng):
+    """Options DECODE in (video, start) order for seek locality but the
+    output slots must keep the reference's dict insertion order: slot i is
+    option key i's clip, independent of decode order (the val sampler is
+    deterministic, so each option's frames equal a direct _read_clip)."""
+    ds = EgoMCQDataset(_cfg(data_dir=egoclip_root, split="val", num_frames=4))
+    item = ds.get(1, rng)
+    with open(os.path.join(egoclip_root, "egomcq.json")) as f:
+        meta = json.load(f)
+    options = meta[sorted(meta.keys(), key=int)[1]]["choices"]
+    helper = EgoClipDataset.__new__(EgoClipDataset)
+    helper.cfg = ds.cfg
+    for i, key in enumerate(options.keys()):
+        want = helper._read_clip(options[key], rng)
+        np.testing.assert_array_equal(
+            item["frames_options"][i], want,
+            err_msg=f"slot {i} (option key {key})")
+
+
 def test_dataset_factory_dispatch(egoclip_root):
     ds = dataset_factory("EgoClip_EgoMCQ")(
         _cfg(data_dir=egoclip_root, split="val", num_frames=2)
