@@ -63,6 +63,9 @@ def _load():
             if hasattr(lib, "ed_stats9"):
                 lib.ed_stats9.argtypes = [ctypes.POINTER(ctypes.c_double)]
                 lib.ed_stats9.restype = None
+            if hasattr(lib, "ed_skip_margin"):
+                lib.ed_skip_margin.restype = ctypes.c_int64
+                lib.ed_skip_margin.argtypes = [ctypes.c_void_p]
             if hasattr(lib, "ed_encode_video"):
                 lib.ed_encode_video.restype = ctypes.c_int
                 lib.ed_encode_video.argtypes = [
@@ -143,6 +146,14 @@ class NativeVideo:
     @property
     def fps(self) -> float:
         return float(self._lib.ed_fps(self._h))
+
+    @property
+    def skip_margin(self) -> int:
+        """Effective NONREF skip-roll margin (stream reorder depth + 2, or
+        a valid ED_SKIP_MARGIN override); -1 on old .so builds."""
+        if not hasattr(self._lib, "ed_skip_margin"):
+            return -1
+        return int(self._lib.ed_skip_margin(self._h))
 
     @property
     def width(self) -> int:

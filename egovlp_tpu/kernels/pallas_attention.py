@@ -550,6 +550,22 @@ def _space_pack_mats(Lk, lb, hd, hpb):
     return lane, sel, seg
 
 
+def _packed_rowmax(logits, sel, Lk, hpb):
+    """Per-head row max of head-packed logits, broadcast back to columns.
+
+    A max SHARED across the hpb packed heads is not stable: when one
+    head's scaled max logit exceeds its block-mate's by more than ~126
+    log2 units, the weaker head's whole exp2 row underflows to exactly 0,
+    its row sum hits 0 and 1/rs produces inf -> NaN outputs/grads (v2's
+    per-head max guaranteed rs >= 1).  hpb masked VPU maxes + one tiny
+    [L, hpb] x [hpb, hpb*Lk] broadcast matmul restore the per-head max."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) // Lk
+    mh = jnp.concatenate(
+        [jnp.max(jnp.where(cols == hp, logits, -jnp.inf), axis=1,
+                 keepdims=True) for hp in range(hpb)], axis=1)  # [L, hpb]
+    return jnp.dot(mh, sel.T, preferred_element_type=jnp.float32)
+
+
 def _mk_space_fwd_bsd_v3(scale, hd, hpb):
     # HEAD-PACKED formulation (the time-v2/v3 trick applied to space): all
     # hpb heads of the 128-lane block go through ONE dense K=lb logits
@@ -557,8 +573,9 @@ def _mk_space_fwd_bsd_v3(scale, hd, hpb):
     # ONE K=hpb*(L+1) value matmul — 2 MXU ops per block instead of v2's
     # 2*hpb ops at K-or-N = hd.  Same useful MACs (the mask zeros replace
     # the array half K=hd leaves idle); the candidate win is halved weight
-    # -load/pipeline-fill overhead and one fused softmax pass.  Shared row
-    # max across heads (>= per-head max, equally stable).
+    # -load/pipeline-fill overhead and one fused softmax pass.  The row
+    # max must stay PER-HEAD (_packed_rowmax): a shared max underflows
+    # the weaker head's whole row when packed heads' maxima diverge.
     def kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref):
         L, lb = q_ref.shape[2], q_ref.shape[3]
         Lk = L + 1
@@ -575,7 +592,7 @@ def _mk_space_fwd_bsd_v3(scale, hd, hpb):
         logits = jax.lax.dot_general(
             qs, kst, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # [L, hpb*Lk]
-        m = jnp.max(logits, axis=1, keepdims=True)
+        m = _packed_rowmax(logits, sel, Lk, hpb)
         e = jnp.exp2(logits - m)
         out = jnp.dot(e.astype(vst.dtype), vst,
                       preferred_element_type=jnp.float32)  # [L, lb]
@@ -611,7 +628,7 @@ def _mk_space_bwd_bsd_v3(scale, hd, hpb):
         logits = jax.lax.dot_general(
             qs, kst, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        m = jnp.max(logits, axis=1, keepdims=True)
+        m = _packed_rowmax(logits, sel, Lk, hpb)
         e = jnp.exp2(logits - m)
         rs = jnp.dot(e, sel, preferred_element_type=jnp.float32)
         p = e * jnp.dot(1.0 / rs, sel.T,

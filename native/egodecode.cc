@@ -140,8 +140,12 @@ void* ed_open(const char* path) {
     reorder = d->stream->codecpar->video_delay;
   d->skip_margin = (int64_t)reorder + 2;
   if (const char* env = getenv("ED_SKIP_MARGIN")) {
-    long v = strtol(env, nullptr, 10);
-    if (v >= 0) d->skip_margin = v;
+    // endptr check: a non-numeric value (ED_SKIP_MARGIN=auto, empty)
+    // must fall through to the derived margin, not parse to 0 (the most
+    // aggressive skip setting)
+    char* end = nullptr;
+    long v = strtol(env, &end, 10);
+    if (end != env && *end == '\0' && v >= 0) d->skip_margin = v;
   }
   d->frame_count = guess_frame_count(d);
   d->frame = av_frame_alloc();
@@ -195,6 +199,12 @@ int64_t ed_frame_count(void* h) {
 
 double ed_fps(void* h) { return h ? static_cast<Decoder*>(h)->fps : 0.0; }
 
+// Effective NONREF skip-roll margin for this stream (reorder depth + 2,
+// or the validated ED_SKIP_MARGIN override) — exposed for tests.
+int64_t ed_skip_margin(void* h) {
+  return h ? static_cast<Decoder*>(h)->skip_margin : -1;
+}
+
 int ed_width(void* h) {
   return h ? static_cast<Decoder*>(h)->codec->width : -1;
 }
@@ -234,11 +244,13 @@ int decode_to(Decoder* d, int64_t target_index, bool allow_skip) {
   const int64_t kSkipMargin = d->skip_margin;
   const AVDiscard kDefaultSkip = d->codec->skip_frame;
   long long skipped_this_roll = 0;
+  bool skip_used = false;  // skip engaged at ANY point in this call
   // Current stream position in frames, derived from pts of last frame.
   while (true) {
     bool rolling = allow_skip && !d->no_pts_seen &&
                    d->last_decoded_index >= 0 &&
                    target_index - d->last_decoded_index > kSkipMargin;
+    skip_used = skip_used || rolling;
     d->codec->skip_frame = rolling ? AVDISCARD_NONREF : kDefaultSkip;
     int ret = avcodec_receive_frame(d->codec, d->frame);
     if (ret == 0) {
@@ -250,8 +262,21 @@ int decode_to(Decoder* d, int64_t target_index, bool allow_skip) {
       } else {
         idx = d->last_decoded_index + 1;
         d->no_pts_seen = true;  // counting is now lossy: no more skipping
+        if (skip_used) {
+          // frames may already have been discarded this call and the
+          // last+1 fallback cannot see the gap — hand the caller the
+          // lossless re-seek-with-skip-off retry instead of counting on
+          d->codec->skip_frame = kDefaultSkip;
+          g_decode_ns.fetch_add(pt.ns(), std::memory_order_relaxed);
+          return 2;
+        }
       }
-      if (rolling && idx > d->last_decoded_index + 1) {
+      // Gap accounting must not be gated on `rolling`: frames discarded
+      // under the skip flag can surface as a pts jump on an iteration
+      // where the roll has already flipped off (near the target) — those
+      // still count toward the overshoot rail below.
+      if (skip_used && idx > d->last_decoded_index + 1 &&
+          d->last_decoded_index >= 0) {
         long long sk = idx - d->last_decoded_index - 1;
         skipped_this_roll += sk;
         g_n_frames_skipped.fetch_add(sk, std::memory_order_relaxed);
@@ -284,7 +309,11 @@ int decode_to(Decoder* d, int64_t target_index, bool allow_skip) {
     }
     d->codec->skip_frame = kDefaultSkip;
     g_decode_ns.fetch_add(pt.ns(), std::memory_order_relaxed);
-    return 0;  // EOF or error
+    // EOF with skip engaged is NOT a verdict: if the target was the last
+    // (non-ref) frame of the stream, the skip itself ate it and the drain
+    // hit EOF — return 2 so the caller redoes the roll losslessly with
+    // skip off.  Only that retry's EOF is a real out-of-range failure.
+    return skip_used ? 2 : 0;
   }
 }
 

@@ -96,9 +96,12 @@ def main():
     loader = Loader(ds, batch_size=8, tokenizer=tok, num_workers=12,
                     shuffle=False, drop_last=False)
 
-    # warm one epoch (handle caches, pandas, thread pool)
+    # warm one FULL epoch (handle caches, pandas, thread pool).  Breaking
+    # after the first batch would leave the prefetch window's in-flight
+    # items draining in the pool — their decode CPU would land inside the
+    # timed epoch-1 window and inflate native_cpu_s (r5 review finding).
     for _ in loader.epoch(0):
-        break
+        pass
 
     native.decode_stats(reset=True)
     cpu0, t0 = _cpu_seconds(), time.perf_counter()

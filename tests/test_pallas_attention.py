@@ -513,3 +513,43 @@ def test_space_kernel_variants_match(rng, monkeypatch, variant):
     for a, b, nm in zip(grads, want_g, ["dq", "dk", "dv", "dck", "dcv"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b).reshape(
             np.asarray(a).shape), rtol=3e-4, atol=3e-5, err_msg=nm)
+
+
+def test_space_kernel_v3_per_head_max_stability(rng, monkeypatch):
+    """The head-packed v3 softmax must take its row max PER HEAD: with a
+    shared max across the hpb packed heads, a head whose max logit sits
+    more than ~126 log2 units below its block-mate's underflows its whole
+    exp2 row to zero (rs == 0 -> 1/rs == inf -> NaN outputs and grads).
+    One head's queries are scaled so the packed maxima diverge by ~900
+    log2 units; v3 must stay finite and match the XLA oracle."""
+    import egovlp_tpu.kernels.pallas_attention as pa
+    from egovlp_tpu.kernels.divided_attention import divided_attention_parts
+
+    monkeypatch.setenv("EGOVLP_SPACE_KERNEL", "v3")
+    B, H, D, f, n = 1, 4, 256, 2, 12
+    hd = D // H
+    scale = hd ** -0.5
+    q, k, v, do = (jnp.asarray(rng.normal(size=(B, f, n, D)), jnp.float32)
+                   for _ in range(4))
+    ck, cv = (jnp.asarray(rng.normal(size=(B, 1, D)), jnp.float32)
+              for _ in range(2))
+    # blow up head 0 of every 128-lane block (heads 0 and 2 at hd=64):
+    # its packed block-mate (head 1 / 3) keeps O(1) logits
+    amp = np.ones((D,), np.float32)
+    amp[0 * hd:1 * hd] = 200.0
+    amp[2 * hd:3 * hd] = 200.0
+    q = q * jnp.asarray(amp)
+
+    fn = pa.make_space_attention_bsd(H, scale)
+    out, vjp = jax.vjp(fn, q, k, v, ck, cv)
+    grads = vjp(do)
+    assert np.isfinite(np.asarray(out)).all()
+    for g, nm in zip(grads, ["dq", "dk", "dv", "dck", "dcv"]):
+        assert np.isfinite(np.asarray(g)).all(), nm
+
+    qc = jnp.zeros((B, 1, D), jnp.float32)
+    _, want = divided_attention_parts(qc, ck, cv, q, k, v, heads=H,
+                                      frames=f, patches=n, axis="space",
+                                      impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)

@@ -258,8 +258,11 @@ def test_native_skip_roll_zero_margin_overshoot_retry(tmp_path, monkeypatch):
     monkeypatch.setenv("ED_SKIP_MARGIN", "0")
     native.decode_stats(reset=True)
     # isolated single-target reads: every access seeks + rolls, and with
-    # B-frames ~2/3 of targets are non-ref, so overshoots are guaranteed
-    for t in (7, 8, 52, 53, 149, 150, 151, 197, 198):
+    # B-frames ~2/3 of targets are non-ref, so overshoots are guaranteed.
+    # 199 (the LAST frame) exercises the EOF rail: when the skip eats the
+    # final frame the drain hits EOF with nothing left to overshoot, and
+    # decode_to must still report retryable (rc=2), not failure.
+    for t in (7, 8, 52, 53, 149, 150, 151, 197, 198, 199):
         v2 = native.NativeVideo(p)
         got, n_ok = v2.read_frames([t], pre_size=64)
         v2.close()
@@ -273,3 +276,27 @@ def test_native_skip_roll_zero_margin_overshoot_retry(tmp_path, monkeypatch):
 def test_native_encoder_rejects_bad_shape(tmp_path):
     with pytest.raises(ValueError):
         native.encode_video(tmp_path / "x.mp4", np.zeros((4, 8, 8), np.uint8))
+
+
+def test_native_skip_margin_env_validation(tmp_path, monkeypatch):
+    """A non-numeric ED_SKIP_MARGIN (typo, empty) must fall through to the
+    stream-derived margin, NOT strtol-parse to 0 — 0 is the most aggressive
+    skip setting and turns a bad env value into maximal rail reliance."""
+    p = _make_bframe_video(tmp_path / "m0.mp4")
+    v = native.NativeVideo(p)
+    derived = v.skip_margin
+    v.close()
+    if derived < 0:
+        pytest.skip("old .so without ed_skip_margin")
+    assert derived >= 2  # reorder depth + 2
+
+    for bad in ("auto", "", "  ", "3x"):
+        monkeypatch.setenv("ED_SKIP_MARGIN", bad)
+        v = native.NativeVideo(p)
+        assert v.skip_margin == derived, f"env {bad!r} must be ignored"
+        v.close()
+
+    monkeypatch.setenv("ED_SKIP_MARGIN", "7")
+    v = native.NativeVideo(p)
+    assert v.skip_margin == 7
+    v.close()
